@@ -1,0 +1,66 @@
+"""Content normalization + row identity — native Column expressions only.
+
+The reference normalizes *names* for case-insensitive matching
+(``fname.lower()``, src/cloud_duplicate_analyzer.py:177) and verifies
+*content* byte-exactly via MD5 (:100-111).  The scaled engine normalizes
+content before shingling so trivial formatting deltas don't break near-dup
+detection, while the exact channel stays byte-exact on the raw content
+(preserving the per-row ``content_sha256`` invariant, BASELINE.json
+``input_hint``).
+
+Everything here is JVM-side (regexp_replace / lower / trim / xxhash64) so it
+stays inside whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Line comments for the langs in the corpus (py/js/go/md): `# ...` and `// ...`;
+# block comments /* ... */.  Good-enough lexical stripping — a full parser is
+# out of scope and the reference has no analog (it never looks at content
+# structure at all).
+_BLOCK_COMMENT = r"/\*[\s\S]*?\*/"
+_LINE_COMMENT = r"(?m)(#|//).*$"
+_WS_RUN = r"\s+"
+
+
+def normalize_content(col: Column | str) -> Column:
+    """lowercase → strip block+line comments → collapse whitespace → trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, _BLOCK_COMMENT, " ")
+    c = F.regexp_replace(c, _LINE_COMMENT, " ")
+    c = F.regexp_replace(c, _WS_RUN, " ")
+    return F.trim(c)
+
+
+def file_id_col() -> Column:
+    """Compact 64-bit surrogate id from the natural key (repo, path, commit).
+
+    xxhash64 keeps shuffles narrow (one long vs three strings).  At true
+    10^12-row scale a 64-bit id has a measurable birthday-collision count; the
+    upgrade path is a second independent hash column
+    (``xxhash64(path, repo, commit, lit(1))``) forming a 128-bit composite.
+    The natural key is always carried alongside, so collisions are detectable
+    and results are reported by (repo, path), never by the surrogate.
+    """
+    return F.xxhash64("repo", "path", "commit")
+
+
+def with_identity(files: DataFrame) -> DataFrame:
+    """Add file_id, content_sha256 (if absent), n_bytes, and normalized content.
+
+    ``content_sha256`` is recomputed with the built-in ``sha2`` when the input
+    doesn't carry it — this is the invariant column the driver checks per row
+    (reference analog: streaming MD5, src/cloud_duplicate_analyzer.py:100-111).
+    """
+    out = files
+    if "content_sha256" not in out.columns:
+        out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    return (
+        out.withColumn("file_id", file_id_col())
+        .withColumn("n_bytes", F.octet_length("content"))
+        .withColumn("content_norm", normalize_content("content"))
+    )

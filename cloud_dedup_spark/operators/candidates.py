@@ -1,0 +1,115 @@
+"""LSH band-bucket candidate generation with explicit hot-key skew handling.
+
+Reference analog: the blocking join on (name, size) — "O(1) candidate lookup"
+(src/cloud_duplicate_analyzer.py:196-200, :310-327; docs/how-it-works.md:22) —
+generalized to MinHash band hashing (north_rule).  The reference caps
+within-block work by taking only the first hit per key per service
+(:323-325, SURVEY.md §4 X5); our analog is the per-bucket pair cap with
+sorted-neighbour chaining.
+
+Scale design (this is shuffle boundary #1, SURVEY.md §3):
+  * Bands were precomputed in the signatures pass, so this stage is pure JVM:
+    posexplode → groupBy → higher-order-function pair expansion.  No Python.
+  * **Skew**: boilerplate-heavy corpora put a large fraction of files into a
+    few band buckets.  AQE's skew-join splitting does not help a skewed
+    groupBy key (SURVEY.md §4 X1), so we do it explicitly, two-pass:
+      pass 1 — bucket sizes (cheap count per key);
+      pass 2 — buckets ≤ cap take the all-pairs path; buckets > cap are
+      **salted** into ⌈size/cap⌉ sub-groups; inside each salt group we emit a
+      sorted-neighbour *chain* (size-1 edges, linear not quadratic) and the
+      per-salt minimum ids are chained across salts, preserving bucket-level
+      connectivity for the clustering stage at O(size) total edges.
+    True duplicate families that land in a hot bucket remain connected
+    (chain) and each chain edge still passes exact verification; unrelated
+    files sharing only boilerplate produce chain edges that verification
+    rejects — which is exactly the desired outcome.
+  * Exact-duplicate pre-collapse (operators/exact.py) runs before this stage,
+    so identical bodies enter LSH once — the main skew source is gone before
+    salting even matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_dedup_spark.config import DedupConfig
+
+# all unordered (ids[i], ids[j]) i<j pairs of a sorted ids array, JVM-side
+_ALL_PAIRS = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS src, y AS dst))))"
+)
+# consecutive-neighbour chain: size-1 edges keeping the group connected
+_CHAIN = (
+    "transform(slice(ids, 1, size(ids) - 1), (x, i) -> "
+    "struct(x AS src, ids[i + 1] AS dst))"
+)
+
+
+def explode_bands(sigs: DataFrame) -> DataFrame:
+    """(file_id, band_key) rows; one per (file, band). Empty-signature files
+    (empty content — reference empty-file fast path :250-252) never reach LSH."""
+    return (
+        sigs.filter(F.col("n_shingles") > 0)
+        .select("file_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
+        .select("file_id", F.xxhash64("band_idx", "band_hash").alias("band_key"))
+    )
+
+
+def _pairs_from_buckets(buckets: DataFrame, expr: str) -> DataFrame:
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(expr)).alias("e"))
+        .select("e.src", "e.dst")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Candidate edges (src < dst), deduplicated across bands.
+
+    Output: ``src, dst`` (file_id pairs).  Downstream verification joins the
+    signature table to score them (operators/verify.py).
+    """
+    bands = explode_bands(sigs)
+    cap = cfg.band_bucket_cap
+
+    sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    # hot-key list is tiny (heavy-hitter distribution) → broadcast it
+    hot = F.broadcast(sizes.filter(F.col("bucket_n") > cap).select("band_key", "bucket_n"))
+
+    tagged = bands.join(hot, "band_key", "left")
+
+    # --- normal buckets: all-pairs within bucket ---
+    normal_buckets = (
+        tagged.filter(F.col("bucket_n").isNull())
+        .groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("file_id")).alias("ids"))
+    )
+    normal_pairs = _pairs_from_buckets(normal_buckets, _ALL_PAIRS)
+
+    # --- hot buckets: salt → chain within salt → chain salt representatives ---
+    hot_bands = tagged.filter(F.col("bucket_n").isNotNull()).withColumn(
+        "salt",
+        F.pmod(F.xxhash64("file_id"), F.ceil(F.col("bucket_n") / cap).cast("long")),
+    )
+    salt_buckets = hot_bands.groupBy("band_key", "salt").agg(
+        F.sort_array(F.collect_list("file_id")).alias("ids")
+    )
+    salted_pairs = _pairs_from_buckets(salt_buckets, _CHAIN)
+    rep_buckets = (
+        salt_buckets.select("band_key", F.element_at("ids", 1).alias("rep"))
+        .groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
+    )
+    rep_pairs = _pairs_from_buckets(rep_buckets, _CHAIN)
+
+    return (
+        normal_pairs.unionByName(salted_pairs)
+        .unionByName(rep_pairs)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )

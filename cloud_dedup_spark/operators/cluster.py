@@ -1,0 +1,104 @@
+"""Iterative connected-components (hash-to-min) clustering over verified edges.
+
+Reference analog: duplicate-group building — the reference walks each
+candidate key and folds pair verdicts into one group
+(src/cloud_duplicate_analyzer.py:400-433).  Its groups are one-key islands;
+ours are true graph components because near-dup/substring edges chain across
+blocks, so we need a fixed point: every file's cluster label converges to the
+minimum file_id reachable through accepted edges (hash-to-min, SURVEY.md §4
+"iterative connected components").
+
+Catalyst has no fixed-point operator, so the loop is driver-side:
+  label(v) ← min(label(v), min over neighbours u of label(u))
+iterated until no label changes.  Converges in O(diameter) rounds — dup
+clusters are near-cliques plus short substring chains, so diameter is small
+(single digits) even at 10^12-file scale.
+
+Scale notes per iteration: one shuffle (groupBy id after the edge-label
+join).  Lineage is cut every round with ``localCheckpoint`` — without it the
+plan doubles each iteration and the job dies on plan-compile time long before
+data size matters (SURVEY.md §7.4 item 2).  On a durable cluster run, swap
+localCheckpoint for a checkpoint/Iceberg stage-table write (plans/pipeline.py
+does this when given a checkpoint location).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every vertex with the min file_id of its component.
+
+    ``edges``: (src, dst) long pairs.  ``vertices``: optional (file_id) frame;
+    vertices absent from any edge keep themselves as their label (singleton
+    clusters).  Returns (file_id, cluster_id).
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if vertices is None:
+        verts = sym.select(F.col("src").alias("file_id")).distinct()
+    else:
+        verts = vertices.select("file_id").distinct()
+
+    labels = verts.withColumn("cluster_id", F.col("file_id")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["file_id"])
+            .groupBy(sym["src"].alias("file_id"))
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "file_id", "left")
+            .select(
+                "file_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                F.col("cluster_id").alias("_old"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_assignments(
+    files: DataFrame, edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Attach cluster ids to every file (singletons = own file_id).
+
+    ``files`` needs (file_id, repo, path); ``edges`` is the union of exact /
+    near / substring accepted edges.  Output: file_id, repo, path,
+    cluster_id, with cluster_id = min file_id in the component.
+    """
+    labels = connected_components(edges, vertices=None, max_iterations=max_iterations)
+    return files.select("file_id", "repo", "path").join(
+        labels, "file_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("file_id")))
+
+
+def cluster_summary(assignments: DataFrame) -> DataFrame:
+    """Per-cluster aggregates — reference group fields analog
+    (size, repo span, representative; src/cloud_duplicate_analyzer.py:412-428
+    builds rel_path/matches/service_details per group)."""
+    return (
+        assignments.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.min(F.struct("file_id", "repo", "path")).alias("representative"),
+            F.sort_array(F.collect_list(F.struct("repo", "path"))).alias("members"),
+        )
+        .filter(F.col("n_files") >= 2)
+    )

@@ -1,0 +1,206 @@
+"""Shingling + MinHash + SimHash signatures as one vectorized Arrow pass.
+
+Reference analog: the per-file MD5 fingerprint (src/cloud_duplicate_analyzer.py:100-111)
+is the reference's only content signature; the graft generalizes it to
+similarity-preserving signatures (north_rule).  Per BASELINE.json
+``input_hint`` the UDF surface is **vectorized pandas/Arrow only — no per-row
+Python UDFs**: this module is the pipeline's single Python stage, a
+scalar-iterator ``pandas_udf`` over Arrow batches of normalized content, with
+all inner math in numpy.
+
+Design for scale:
+  * ONE pass computes tokens → shingles → MinHash → band hashes → SimHash;
+    content crosses the JVM↔Arrow boundary exactly once.
+  * Arrow batch size is capped session-wide (2048 rows) so the per-batch
+    signature matrices stay bounded (SURVEY.md §7.4 item 4).
+  * Shingle sets are stored folded to 32 bits (array<int>) — halves the
+    checkpoint footprint; exact-Jaccard verification on hashed shingles is
+    exact w.r.t. the hashed sets and within ~1e-7 of token-true Jaccard for
+    realistic set sizes.
+  * MinHash uses the universal family h_i(x) = (a_i·x + b_i) mod p with
+    p = 2^61 − 1, a_i,b_i < 2^31 and x < 2^32, so every product fits in
+    uint64 — fully vectorized, no Python bigints.
+  * Band hashes are emitted here (not at candidate time) so the LSH stage is
+    a pure JVM explode+groupBy with zero additional Python.
+
+Determinism: token hashes are blake2b (content-derived, process-independent);
+the (a_i, b_i) families derive from ``cfg.minhash_seed`` — pinned so recall
+comparisons are reproducible across runs and cluster sizes (SURVEY.md §7.4
+item 3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_dedup_spark.config import MERSENNE_P, DedupConfig
+
+_TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+|[^\sa-z0-9_]")
+
+# Odd multiplier for the rolling shingle combine (64-bit wraparound is fine —
+# we only need a well-mixed deterministic value, not a modular inverse).
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_shingles", T.IntegerType()),
+        T.StructField("shingles", T.ArrayType(T.IntegerType())),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _token_hash64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def _hash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-family params a, b uniform in [1, p) / [0, p).
+
+    The products a·x wrap mod 2^64 before the mod-p reduction; that wraparound
+    is itself a mixing step and the resulting family is empirically min-wise
+    unbiased (verified in tests/test_signatures.py::test_minhash_estimates_jaccard;
+    a 'small-a no-wrap' variant measurably over-estimates Jaccard and was
+    rejected).
+    """
+    rng = np.random.RandomState(cfg.minhash_seed)
+    a = rng.randint(1, MERSENNE_P, size=cfg.num_hashes, dtype=np.uint64)
+    b = rng.randint(0, MERSENNE_P, size=cfg.num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndarray:
+    """Distinct k-token rolling shingle hashes, folded to uint32, as uint64 array."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = np.empty(n, dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = cache.get(tok)
+        if h is None:
+            h = _token_hash64(tok)
+            cache[tok] = h
+        th[i] = h
+    if n < k:
+        # short doc: one shingle over all tokens
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _SHINGLE_MULT + th[j : j + 1]
+        sh = acc
+    else:
+        m = n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _SHINGLE_MULT + th[j : j + m]
+        sh = acc
+    # fold 64→32 bits, dedupe
+    return np.unique((sh >> np.uint64(32)) ^ (sh & np.uint64(0xFFFFFFFF)))
+
+
+def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """sig[i] = min over x of ((a_i·x + b_i) mod 2^64) mod p — (n_hashes,) int64."""
+    vals = (a[:, None] * shingles[None, :] + b[:, None]) % np.uint64(MERSENNE_P)
+    return vals.min(axis=1).astype(np.int64)
+
+
+def _band_hashes(sig: np.ndarray, num_bands: int, rows: int) -> np.ndarray:
+    """Hash each (band of r signature values) to one int64 key."""
+    mat = sig.astype(np.uint64).reshape(num_bands, rows)
+    acc = np.zeros(num_bands, dtype=np.uint64)
+    for j in range(rows):
+        acc = (acc * _SHINGLE_MULT) ^ (mat[:, j] + np.uint64(0x51ED270B))
+        acc *= _SHINGLE_MULT
+    # mix in the band index so identical row-slices in different bands differ
+    acc ^= np.arange(num_bands, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return acc.astype(np.int64)
+
+
+def _simhash(tokens: list[str], cache: dict[str, int]) -> int:
+    """64-bit SimHash over token frequencies (charikar fingerprint)."""
+    if not tokens:
+        return 0
+    uniq: dict[int, int] = {}
+    for tok in tokens:
+        h = cache.get(tok)
+        if h is None:
+            h = _token_hash64(tok)
+            cache[tok] = h
+        uniq[h] = uniq.get(h, 0) + 1
+    hs = np.fromiter(uniq.keys(), dtype=np.uint64, count=len(uniq))
+    ws = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = ((bits * 2 - 1) * ws[:, None]).sum(axis=0)
+    fp = np.uint64(0)
+    for i in range(64):
+        if acc[i] >= 0:
+            fp |= np.uint64(1) << np.uint64(i)
+    return int(fp.astype(np.int64))  # reinterpret as signed for LongType
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """Scalar-iterator pandas UDF: content_norm → signature struct."""
+    a_params, b_params = _hash_params(cfg)
+    k = cfg.shingle_size
+    nb, r = cfg.num_bands, cfg.rows_per_band
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def signature_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        token_cache: dict[str, int] = {}
+        for series in batches:
+            out = {
+                "n_tokens": [], "n_shingles": [], "shingles": [],
+                "minhash": [], "band_hashes": [], "simhash": [],
+            }
+            for text in series:
+                tokens = _TOKEN_RE.findall(text) if text else []
+                sh = _shingle_hashes(tokens, k, token_cache)
+                out["n_tokens"].append(len(tokens))
+                out["n_shingles"].append(len(sh))
+                # int32 reinterpretation for compact ArrayType(IntegerType)
+                out["shingles"].append(sh.astype(np.uint32).astype(np.int32))
+                if len(sh):
+                    sig = _minhash(sh, a_params, b_params)
+                    out["minhash"].append(sig)
+                    out["band_hashes"].append(_band_hashes(sig, nb, r))
+                else:
+                    out["minhash"].append(np.empty(0, dtype=np.int64))
+                    out["band_hashes"].append(np.empty(0, dtype=np.int64))
+                out["simhash"].append(_simhash(tokens, token_cache))
+            if len(token_cache) > 1_000_000:  # bound executor-side cache
+                token_cache.clear()
+            yield pd.DataFrame(out)
+
+    return signature_udf
+
+
+def compute_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Signatures table: one row per input file (SURVEY.md §3 checkpoint #1).
+
+    Input: identity frame (file_id, repo, path, lang, content_norm, ...).
+    Output: file_id, repo, path, lang, n_bytes, content_sha256, n_tokens,
+    n_shingles, shingles, minhash, band_hashes, simhash.
+    """
+    udf = make_signature_udf(cfg)
+    sig = files.withColumn("sig", udf(F.col("content_norm")))
+    return sig.select(
+        "file_id", "repo", "path", "lang", "n_bytes", "content_sha256",
+        F.col("sig.n_tokens").alias("n_tokens"),
+        F.col("sig.n_shingles").alias("n_shingles"),
+        F.col("sig.shingles").alias("shingles"),
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.band_hashes").alias("band_hashes"),
+        F.col("sig.simhash").alias("simhash"),
+    )

@@ -1,0 +1,59 @@
+"""SparkSession construction tuned for the dedup pipeline.
+
+Single place where scale-sensitive settings live so tests, bench.py, and the
+driver contract all run the same physical configuration.  On a real cluster
+this is the ``spark-submit --conf`` surface; locally we pin the same values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "cloud-dedup-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a session with AQE + Arrow on and shuffle partitions sized to cores.
+
+    Scale notes (100 TB / 1000-executor design):
+      * AQE is on: runtime coalescing of small post-shuffle partitions and
+        skew-join splitting are the first line of defence against LSH band
+        skew; salting in operators/candidates.py is the second (AQE cannot
+        split a skewed groupBy key, SURVEY.md §4 X1).
+      * Arrow batch size is capped so MinHash signature matrices stay bounded
+        per batch (SURVEY.md §7.4 item 4).
+      * ``spark.sql.shuffle.partitions`` defaults to 2× cores locally; on a
+        cluster set it to ~2-3× total executor cores via spark-submit.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → cpu count
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        cores = cpus if n in ("*", "") else int(n)
+        shuffle_partitions = max(cores * 2, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

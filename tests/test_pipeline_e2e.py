@@ -1,0 +1,101 @@
+"""End-to-end pipeline: recall vs plant plan, invariant, resumability.
+
+Analog of the reference's ``TestAnalyzeIntegration`` + scenario suite
+(tests/test_cloud_duplicate_analyzer.py:171-243, tests/test_unique_folder_visibility.py)
+and of BASELINE.json's acceptance gates: dup-pair recall ≥ 0.99, per-row
+content_sha256 invariant, checkpoint resumability.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from cloud_dedup_spark import run_pipeline
+from cloud_dedup_spark.plans.pipeline import invariant_violations
+from tests.conftest import cluster_pairs
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    files, truth = corpus
+    res = run_pipeline(spark, files)
+    res["assignments"] = res["assignments"].cache()
+    res["assignments"].count()
+    return res, truth
+
+
+def _got_clusters(assignments):
+    got = {}
+    for r in assignments.collect():
+        got.setdefault(r["cluster_id"], set()).add((r["repo"], r["path"]))
+    return [m for m in got.values() if len(m) >= 2]
+
+
+def test_recall_at_least_099(result):
+    res, truth = result
+    got = cluster_pairs(_got_clusters(res["assignments"]))
+    expected = truth.expected_positive_pairs()
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.99, f"recall {recall:.4f}"
+
+
+def test_no_false_positive_pairs(result):
+    res, truth = result
+    got = cluster_pairs(_got_clusters(res["assignments"]))
+    expected = truth.expected_positive_pairs()
+    assert got - expected == set()
+
+
+def test_negatives_not_clustered(result):
+    """Borderline rewrites and phantom analogs (same path+length, different
+    content — the reference's 'most dangerous case', :223-224) stay apart."""
+    res, truth = result
+    got = cluster_pairs(_got_clusters(res["assignments"]))
+    for a, b in truth.negative_pairs:
+        assert frozenset((a, b)) not in got
+
+
+def test_sha256_invariant_holds(result):
+    res, _ = result
+    assert invariant_violations(res["identity"]).count() == 0
+
+
+def test_every_file_assigned_exactly_once(result, corpus):
+    files, _ = corpus
+    res, _ = result
+    asg = res["assignments"]
+    assert asg.count() == files.count()
+    assert asg.select("file_id").distinct().count() == files.count()
+
+
+def test_metrics_lineage_recorded(result):
+    res, _ = result
+    stages = [s.name for s in res["metrics"].stages]
+    for expected in ("identity", "exact", "signatures", "candidate_edges",
+                     "substring_edges", "cluster_labels"):
+        assert expected in stages
+
+
+def test_checkpoint_resumability(spark, corpus, tmp_path_factory):
+    """Kill-and-rerun: a second run over an existing checkpoint dir reuses
+    every stage table and reproduces identical cluster labels (north_rule:
+    'any stage is resumable')."""
+    files, _ = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    res1 = run_pipeline(spark, files, checkpoint_dir=ckpt)
+    labels1 = {(r["repo"], r["path"]): r["cluster_id"]
+               for r in res1["assignments"].collect()}
+    # simulate a failure after the signature stage: later stage tables lost
+    shutil.rmtree(f"{ckpt}/candidate_edges", ignore_errors=True)
+    shutil.rmtree(f"{ckpt}/cluster_labels", ignore_errors=True)
+    res2 = run_pipeline(spark, files, checkpoint_dir=ckpt)
+    labels2 = {(r["repo"], r["path"]): r["cluster_id"]
+               for r in res2["assignments"].collect()}
+    assert labels1 == labels2
+    # and a fully-warm third run must also agree
+    res3 = run_pipeline(spark, files, checkpoint_dir=ckpt)
+    labels3 = {(r["repo"], r["path"]): r["cluster_id"]
+               for r in res3["assignments"].collect()}
+    assert labels1 == labels3

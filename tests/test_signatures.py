@@ -1,0 +1,112 @@
+"""Signature stage: determinism, identity, similarity monotonicity.
+
+Analog of the reference's scalar-helper tests (tests/test_coverage_gaps.py:41-82
+tests md5/human_size/fmt_ts directly) — we drive the UDF internals as plain
+functions plus the Spark stage end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from cloud_dedup_spark.config import DedupConfig
+from cloud_dedup_spark.functions.normalize import with_identity
+from cloud_dedup_spark.operators.signatures import (
+    _hash_params,
+    _minhash,
+    _shingle_hashes,
+    _simhash,
+    _TOKEN_RE,
+    compute_signatures,
+)
+
+CFG = DedupConfig()
+
+
+def _sig_of(text: str) -> np.ndarray:
+    tokens = _TOKEN_RE.findall(text.lower())
+    sh = _shingle_hashes(tokens, CFG.shingle_size, {})
+    a, b = _hash_params(CFG)
+    return _minhash(sh, a, b)
+
+
+def test_minhash_deterministic():
+    t = "def load_parse(a, b): return a + b"
+    assert np.array_equal(_sig_of(t), _sig_of(t))
+
+
+def test_minhash_identical_vs_disjoint():
+    base = " ".join(f"tok{i} alpha beta gamma delta" for i in range(40))
+    other = " ".join(f"zzz{i} omega psi chi phi" for i in range(40))
+    sim_frac = (_sig_of(base) == _sig_of(base)).mean()
+    dis_frac = (_sig_of(base) == _sig_of(other)).mean()
+    assert sim_frac == 1.0
+    assert dis_frac < 0.1
+
+
+def test_minhash_estimates_jaccard():
+    """MinHash agreement fraction ≈ true Jaccard of the shingle sets."""
+    words = [f"w{i}" for i in range(300)]
+    a_txt = " ".join(words)
+    b_txt = " ".join(words[:240] + [f"x{i}" for i in range(60)])
+    tokens_a = _TOKEN_RE.findall(a_txt)
+    tokens_b = _TOKEN_RE.findall(b_txt)
+    sh_a = set(_shingle_hashes(tokens_a, CFG.shingle_size, {}).tolist())
+    sh_b = set(_shingle_hashes(tokens_b, CFG.shingle_size, {}).tolist())
+    true_j = len(sh_a & sh_b) / len(sh_a | sh_b)
+    est_j = (_sig_of(a_txt) == _sig_of(b_txt)).mean()
+    assert abs(est_j - true_j) < 0.15  # 128 hashes → σ ≈ 0.044
+
+
+def test_simhash_hamming_small_for_near_edit():
+    base = " ".join(f"ident_{i} value_{i}" for i in range(100))
+    near = base.replace("ident_5", "renamed_5", 1)
+    far = " ".join(f"other_{i} thing_{i}" for i in range(100))
+    fp = _simhash(_TOKEN_RE.findall(base), {})
+    fp_near = _simhash(_TOKEN_RE.findall(near), {})
+    fp_far = _simhash(_TOKEN_RE.findall(far), {})
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(fp, fp_near) <= 3
+    assert ham(fp, fp_far) > 10
+
+
+def test_empty_and_short_content():
+    assert _shingle_hashes([], CFG.shingle_size, {}).size == 0
+    # shorter than one shingle still yields exactly one shingle
+    assert _shingle_hashes(["a", "b"], CFG.shingle_size, {}).size == 1
+    assert _simhash([], {}) == 0
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, corpus):
+    files, _ = corpus
+    out = compute_signatures(with_identity(files), CFG).cache()
+    out.count()
+    return out
+
+
+def test_signature_stage_schema_and_counts(sigs, corpus):
+    files, truth = corpus
+    assert sigs.count() == files.count()
+    row = sigs.filter(F.col("n_shingles") > 0).first()
+    assert len(row["minhash"]) == CFG.num_hashes
+    assert len(row["band_hashes"]) == CFG.num_bands
+    # empty files: no shingles, no bands
+    empty = sigs.filter(F.col("n_tokens") == 0)
+    assert empty.count() == len(truth.empty_group)
+    assert all(len(r["band_hashes"]) == 0 for r in empty.collect())
+
+
+def test_exact_dup_files_get_identical_signatures(sigs, corpus):
+    _, truth = corpus
+    repo, path = truth.exact_groups[0][0]
+    other_repo, other_path = truth.exact_groups[0][1]
+    a = sigs.filter((F.col("repo") == repo) & (F.col("path") == path)).first()
+    b = sigs.filter(
+        (F.col("repo") == other_repo) & (F.col("path") == other_path)
+    ).first()
+    assert a["minhash"] == b["minhash"]
+    assert a["simhash"] == b["simhash"]
+    assert a["band_hashes"] == b["band_hashes"]
