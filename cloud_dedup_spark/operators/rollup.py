@@ -1,0 +1,260 @@
+"""Folder/prefix rollups + report aggregations — reference stages 7-10.
+
+Reference analogs (SURVEY.md §2.5-2.7, §3 stages 7-10):
+  * folder name-set aggregation (A6, src/cloud_duplicate_analyzer.py:551-556)
+  * folder universe + ancestor expansion (:563-570) and presence-including-
+    descendants test (:576-581)
+  * pairwise set-relationship classification E2 (:597-622)
+  * in_all / per-repo-only / pairwise-shared details E3-E5 (:626-637)
+  * relationship histogram A7 (:648-650)
+  * subtree rollup J5+A8 (:659-680) — here via ancestor-prefix explode +
+    groupBy instead of the O(n²) startswith scan the reference does (a
+    startswith theta-join would be a BroadcastNestedLoopJoin in Spark;
+    exploding each folder's own ancestors makes it a hash aggregation,
+    SURVEY.md §2.3 J5)
+  * safe-to-delete roots O4 (:682-694) — highest identical subtrees only
+  * pairwise duplicate counts A4 (:525-530), unique counts A5 (:533-546)
+
+Everything is native DataFrame ops; the only data-dependent fan-out is the
+ancestor explode, bounded by path depth (≤ ~20 in real repos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_folder_name(files: DataFrame, path_col: str = "path") -> DataFrame:
+    """Add ``folder`` (dirname, '' at root) and ``name`` (lowercased basename).
+
+    Reference: rel_path → folder/name derivation (:151, :163, :176-182) with
+    the case-insensitive name normalization (:177).
+    """
+    parts = F.split(F.col(path_col), "/")
+    return files.withColumn(
+        "folder", F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/")
+    ).withColumn("name", F.lower(F.element_at(parts, -1)))
+
+
+def _ancestors_incl_self() -> F.Column:
+    """array of ancestor prefixes of `folder`, deepest last, root '' excluded."""
+    fp = F.split(F.col("folder"), "/")
+    return F.when(F.col("folder") == "", F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(fp)),
+            lambda i: F.array_join(F.slice(fp, F.lit(1), i), "/"),
+        )
+    )
+
+
+def folder_presence(files: DataFrame) -> DataFrame:
+    """(folder, repo) rows: repo has ≥1 file in folder OR any descendant.
+
+    Reference presence test incl. descendants (:576-581) + ancestor expansion
+    of the folder universe (:563-570).
+    """
+    with_f = with_folder_name(files)
+    direct = with_f.select("repo", "folder")
+    via_desc = with_f.select(
+        "repo", F.explode(_ancestors_incl_self()).alias("folder")
+    )
+    return direct.unionByName(via_desc).distinct()
+
+
+def folder_name_sets(files: DataFrame) -> DataFrame:
+    """(folder, repo) → sorted set of direct-children file names (A6)."""
+    return (
+        with_folder_name(files)
+        .groupBy("folder", "repo")
+        .agg(F.sort_array(F.collect_set("name")).alias("names"))
+    )
+
+
+def folder_comparisons(files: DataFrame) -> DataFrame:
+    """Per-folder cross-repo relationship — reference folder analysis stage 8.
+
+    Output: folder, n_repos, repos_present, relationship
+    ('unique' | 'identical' | 'subset' | 'superset' | 'overlap' | 'mixed'),
+    names_in_all, total_unique_files.
+
+    Pairwise set relations fold per the reference (:597-622): all pairs
+    identical → identical; any overlap → overlap; one-sided containments →
+    subset/superset; conflicting directions → mixed.
+    """
+    presence = folder_presence(files)
+    sets = folder_name_sets(files)
+    # (folder × present repo) grid; repos present only via descendants get ∅
+    grid = presence.join(sets, ["folder", "repo"], "left").withColumn(
+        "names", F.coalesce("names", F.array())
+    )
+
+    per_folder = grid.groupBy("folder").agg(
+        F.count(F.lit(1)).alias("n_repos"),
+        F.sort_array(F.collect_list("repo")).alias("repos_present"),
+        F.sort_array(F.collect_list(F.struct("repo", "names"))).alias("repo_sets"),
+    )
+
+    # all unordered pairs of repo_sets, classified JVM-side
+    pair_rels = F.expr(
+        """
+        flatten(transform(repo_sets, (x, i) ->
+          transform(slice(repo_sets, i + 2, size(repo_sets)), y ->
+            CASE
+              WHEN size(array_except(x.names, y.names)) = 0
+                   AND size(array_except(y.names, x.names)) = 0 THEN 'identical'
+              WHEN size(array_except(x.names, y.names)) = 0 THEN 'subset'
+              WHEN size(array_except(y.names, x.names)) = 0 THEN 'superset'
+              ELSE 'overlap'
+            END)))
+        """
+    )
+    rel = (
+        F.when(F.col("n_repos") == 1, F.lit("unique"))
+        .when(F.size(F.array_distinct("pair_rels")) == 0, F.lit("unique"))
+        .when(
+            F.array_distinct("pair_rels") == F.array(F.lit("identical")),
+            F.lit("identical"),
+        )
+        .when(F.array_contains("pair_rels", "overlap"), F.lit("overlap"))
+        .when(
+            F.size(F.array_except("pair_rels", F.array(F.lit("identical"), F.lit("subset")))) == 0,
+            F.lit("subset"),
+        )
+        .when(
+            F.size(F.array_except("pair_rels", F.array(F.lit("identical"), F.lit("superset")))) == 0,
+            F.lit("superset"),
+        )
+        .otherwise(F.lit("mixed"))
+    )
+    in_all = F.expr(
+        "sort_array(aggregate(slice(repo_sets, 2, size(repo_sets)), "
+        "repo_sets[0].names, (acc, x) -> array_intersect(acc, x.names)))"
+    )
+    union_all = F.expr(
+        "aggregate(repo_sets, cast(array() as array<string>), "
+        "(acc, x) -> array_union(acc, x.names))"
+    )
+    return per_folder.withColumn("pair_rels", pair_rels).select(
+        "folder",
+        "n_repos",
+        "repos_present",
+        rel.alias("relationship"),
+        F.when(F.col("n_repos") >= 2, in_all).otherwise(F.array()).alias("names_in_all"),
+        F.size(union_all).alias("total_unique_files"),
+    )
+
+
+def folder_detail_rows(files: DataFrame) -> DataFrame:
+    """Name-level detail — relational form of the reference's details dict
+    (in_all / <repo>_only / pairwise-shared, :626-637).
+
+    Output: folder, name, repos (sorted array), detail
+    ('in_all' | 'only' | 'shared').  'shared' = present in ≥2 but not all
+    present repos (the reference's pairwise "<la>+<lb>" rows, :633-637).
+    """
+    with_f = with_folder_name(files)
+    n_present = folder_presence(files).groupBy("folder").agg(
+        F.count(F.lit(1)).alias("n_repos_present")
+    )
+    by_name = (
+        with_f.groupBy("folder", "name")
+        .agg(F.sort_array(F.collect_set("repo")).alias("repos"))
+        .join(n_present, "folder")
+    )
+    detail = (
+        F.when(F.size("repos") == F.col("n_repos_present"), F.lit("in_all"))
+        .when(F.size("repos") == 1, F.lit("only"))
+        .otherwise(F.lit("shared"))
+    )
+    return by_name.select("folder", "name", "repos", detail.alias("detail"))
+
+
+def subtree_rollup(fc: DataFrame) -> DataFrame:
+    """Roll folder relationships up each ancestor chain (J5 + A8).
+
+    Input: folder_comparisons output.  Output: folder, subtree_status
+    ('identical' | 'unique' | 'mixed'), subtree_total_files, n_descendants.
+    A folder's subtree is itself + all descendant folders; statuses fold as
+    all-identical → identical, all-unique → unique, else mixed (:667-680).
+    """
+    exploded = fc.select(
+        F.explode(_ancestors_incl_self()).alias("ancestor"),
+        "relationship",
+        "total_unique_files",
+    )
+    return exploded.groupBy(F.col("ancestor").alias("folder")).agg(
+        F.when(F.min(F.col("relationship") == "identical"), F.lit("identical"))
+        .when(F.max(F.col("relationship") != "unique") == False, F.lit("unique"))  # noqa: E712
+        .otherwise(F.lit("mixed"))
+        .alias("subtree_status"),
+        F.sum("total_unique_files").alias("subtree_total_files"),
+        F.count(F.lit(1)).alias("n_descendants"),
+    )
+
+
+def safe_dedup_roots(rollup: DataFrame) -> DataFrame:
+    """Highest-level fully-identical subtrees (O4, :682-694).
+
+    A folder qualifies when its whole subtree is 'identical' and NO proper
+    ancestor also qualifies — pinned by reference
+    tests/test_cloud_duplicate_analyzer.py:147-155 ("highest level only").
+    """
+    identical = rollup.filter(F.col("subtree_status") == "identical").select("folder")
+    fp = F.split(F.col("folder"), "/")
+    proper_ancestors = F.when(F.size(fp) <= 1, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(fp) - 1),
+            lambda i: F.array_join(F.slice(fp, F.lit(1), i), "/"),
+        )
+    )
+    anc = identical.select(
+        "folder", F.explode(proper_ancestors).alias("ancestor")
+    ).join(
+        identical.select(F.col("folder").alias("ancestor")), "ancestor", "inner"
+    ).select("folder").distinct()
+    return identical.join(anc, "folder", "left_anti")
+
+
+def pairwise_repo_counts(clusters: DataFrame) -> DataFrame:
+    """Per repo pair: number of clusters containing both repos (A4, :525-530).
+
+    Input: cluster_summary output (cluster_id, members array of (repo, path)).
+    """
+    repo_pairs = F.expr(
+        """
+        flatten(transform(repos, (x, i) ->
+          transform(slice(repos, i + 2, size(repos)), y ->
+            struct(x AS repo_a, y AS repo_b))))
+        """
+    )
+    return (
+        clusters.select(
+            "cluster_id",
+            F.sort_array(F.array_distinct(F.transform(F.col("members"), lambda m: m["repo"]))).alias("repos"),
+        )
+        .select("cluster_id", F.explode(repo_pairs).alias("p"))
+        .groupBy(F.col("p.repo_a").alias("repo_a"), F.col("p.repo_b").alias("repo_b"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def unique_file_counts(assignments: DataFrame) -> DataFrame:
+    """Per-repo count of files in no multi-member cluster (A5, :533-546) —
+    the left-anti-join pattern the reference does with set membership."""
+    multi = (
+        assignments.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("cluster_id")
+    )
+    return (
+        assignments.join(multi, "cluster_id", "left_anti")
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_unique_files"))
+    )
+
+
+def relationship_histogram(fc: DataFrame) -> DataFrame:
+    """Folders per relationship value (A7, :648-650)."""
+    return fc.groupBy("relationship").agg(F.count(F.lit(1)).alias("n_folders"))
