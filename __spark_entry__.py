@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dedup run on sf0.001 documents.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data operators).  ``oracle_sql()`` — DuckDB twins; omitted for
+the genuinely non-SQL ops (MinHash/LSH/connected-components), which the
+driver checks rows-only.
+
+Column names are aliased identically on both sides (the driver sorts columns
+by name before value-hashing).
 """
 
 from __future__ import annotations
@@ -12,27 +15,386 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloud_dedup_spark.functions.text import STOPWORDS, text_profile
+from cloud_dedup_spark.operators.documents import (
+    documents_as_files,
+    exact_text_duplicates,
+    ngram_jaccard_pairs,
+    prefix_fingerprint_groups,
+    source_overlap_counts,
+    unique_docs_per_source,
+)
+from cloud_dedup_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_pairs,
+    lsh_bucketed_topk,
+)
+from cloud_dedup_spark.plans.pipeline import run_pipeline
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full dedup pipeline (exact + MinHash/LSH + substring + clustering) on
+    the sf0.001 documents table, returning multi-member cluster summaries."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    res = run_pipeline(spark, documents_as_files(docs))
+    return res["clusters"].select(
+        "cluster_id", "n_files", "n_repos",
+        F.col("representative.path").alias("rep_path"),
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_exact_text_dupes(spark, sf_dir):
+    return exact_text_duplicates(_t(spark, sf_dir, "documents")).select(
+        "fingerprint",
+        "n_docs",
+        "n_sources",
+        F.element_at("doc_ids", 1).alias("min_doc_id"),
+    )
+
+
+def q_prefix_fp_groups(spark, sf_dir):
+    return prefix_fingerprint_groups(_t(spark, sf_dir, "documents"), k=10)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def q_text_profile(spark, sf_dir):
+    return text_profile(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_subwords", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "lang_guess", "quality", "fingerprint",
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    return source_overlap_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_unique_docs(spark, sf_dir):
+    return unique_docs_per_source(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(emb, queries, k=3)
+
+
+def q_emb_near_pairs(spark, sf_dir):
+    return cosine_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-style aggregate: scan → filter → groupBy (A9/A10 analogs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Window row_number — the P6 first-hit / O1 deterministic-index analog."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (E6/A5 analog): customers with zero orders, per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_supplier_part_span(spark, sf_dir):
+    """Distinct-agg + broadcast-dimension join (J2 label-dimension analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+    return per_supp.join(
+        F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+        "l_suppkey",
+    ).select(F.col("l_suppkey").alias("suppkey"), "s_name", "n_parts", "revenue")
+
+
+def q_events_rollup(spark, sf_dir):
+    """Events per (user, type): count + value stats (A4/A11 pivot analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_minhash_doc_clusters(spark, sf_dir):
+    """Full MinHash/LSH/substring/CC pipeline on documents (non-SQL: rows-only
+    driver check).  Deterministic: seeded hashes, min-id cluster labels."""
+    docs = _t(spark, sf_dir, "documents")
+    res = run_pipeline(spark, documents_as_files(docs))
+    return (
+        res["assignments"]
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("repo").alias("n_sources"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (non-SQL: rows-only driver check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # 6 planes → 64 buckets over ~500 vectors: meaningful bucket occupancy at
+    # this sf; a cluster run scales n_planes with log2(N / target_bucket_size)
+    return lsh_bucketed_topk(emb, queries, k=3, n_planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_text_dupes": q_exact_text_dupes,
+        "prefix_fp_groups": q_prefix_fp_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "text_profile": q_text_profile,
+        "source_overlap": q_source_overlap,
+        "unique_docs": q_unique_docs,
+        "ann_topk": q_ann_topk,
+        "emb_near_pairs": q_emb_near_pairs,
+        "lineitem_pricing": q_lineitem_pricing,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "supplier_part_span": q_supplier_part_span,
+        "events_rollup": q_events_rollup,
+        "minhash_doc_clusters": q_minhash_doc_clusters,
+        "lsh_ann_topk": q_lsh_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+_STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_ORACLES: dict[str, str] = {
+    "exact_text_dupes": f"""
+        SELECT {_FP} AS fingerprint,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               min(doc_id) AS min_doc_id
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) >= 2
+    """,
+    "prefix_fp_groups": """
+        SELECT md5(array_to_string(
+                 regexp_split_to_array(lower(trim(text)), '\\s+')[1:10], ' '))
+               AS prefix_fp,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               min(doc_id) AS min_doc_id
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) >= 2
+    """,
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+          FROM toks WHERE len(arr) >= 3
+        ), grams AS (
+          SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ng
+          FROM idx
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_ng FROM grams GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM grams a JOIN grams b USING (ng)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter / (sa.n_ng + sb.n_ng - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter / (sa.n_ng + sb.n_ng - n_inter), 4) >= 0.5
+    """,
+    "text_profile": f"""
+        WITH base AS (
+          SELECT doc_id, text, lower(text) AS low, trim(text) AS t,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id,
+               n_tokens,
+               len(regexp_extract_all(low, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subwords,
+               round(CASE WHEN len(regexp_extract_all(low, '\\S')) = 0 THEN 0.0
+                    ELSE len(regexp_extract_all(low, '[^a-z0-9\\s]'))
+                         / len(regexp_extract_all(low, '\\S')) END, 4) AS punct_ratio,
+               round(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> x IN ({_STOPS}))) / n_tokens
+                    END, 4) AS stopword_ratio,
+               round(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE len(regexp_replace(t, '\\s+', '', 'g')) / n_tokens END, 4)
+                    AS mean_word_len,
+               CASE
+                 WHEN regexp_matches(low, '[一-鿿]') THEN 'zh'
+                 WHEN regexp_matches(low, '[Ѐ-ӿ]') THEN 'ru'
+                 WHEN regexp_matches(low, '(^| )(der|die|das|und|ist|nicht)( |$)') THEN 'de'
+                 WHEN regexp_matches(low, '(^| )(le|la|les|est|une|dans)( |$)') THEN 'fr'
+                 WHEN regexp_matches(low, '(^| )(el|los|las|es|una|que)( |$)') THEN 'es'
+                 WHEN regexp_matches(low, '(^| )(the|and|is|of|to|in)( |$)') THEN 'en'
+                 ELSE 'und'
+               END AS lang_guess,
+               round(
+                 0.4 * (CASE WHEN n_tokens >= 50 THEN 1.0 WHEN n_tokens >= 10 THEN 0.7
+                             WHEN n_tokens >= 3 THEN 0.3 ELSE 0.0 END)
+                 + 0.3 * (1.0 - round(CASE WHEN len(regexp_extract_all(low, '\\S')) = 0 THEN 0.0
+                         ELSE len(regexp_extract_all(low, '[^a-z0-9\\s]'))
+                              / len(regexp_extract_all(low, '\\S')) END, 4))
+                 + 0.3 * (CASE
+                     WHEN round(CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> x IN ({_STOPS}))) / n_tokens END, 4)
+                          BETWEEN 0.05 AND 0.6 THEN 1.0
+                     WHEN round(CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE len(list_filter(toks, x -> x IN ({_STOPS}))) / n_tokens END, 4)
+                          > 0.6 THEN 0.3
+                     ELSE 0.5 END), 4) AS quality,
+               {_FP} AS fingerprint
+        FROM base
+    """,
+    "source_overlap": f"""
+        WITH fp AS (
+          SELECT DISTINCT {_FP} AS fingerprint, source FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(DISTINCT a.fingerprint) AS n_shared
+        FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    """,
+    "unique_docs": f"""
+        WITH fp AS (
+          SELECT doc_id, source, {_FP} AS fingerprint FROM documents
+        ), dup AS (
+          SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) >= 2
+        )
+        SELECT source, count(*) AS n_unique_docs
+        FROM fp WHERE fingerprint NOT IN (SELECT fingerprint FROM dup)
+        GROUP BY 1
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.q_vec::DOUBLE[], e.embedding::DOUBLE[]), 4) AS score
+          FROM q CROSS JOIN embeddings e
+          WHERE q.query_id <> e.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 3
+    """,
+    "emb_near_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    """,
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "latest_order_per_customer": """
+        WITH ranked AS (
+          SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                 strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+          FROM orders
+        )
+        SELECT custkey, orderkey, order_date FROM ranked WHERE rn = 1
+    """,
+    "customers_without_orders": """
+        SELECT c_nationkey, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+        GROUP BY c_nationkey
+    """,
+    "supplier_part_span": """
+        SELECT l_suppkey AS suppkey, s_name,
+               count(DISTINCT l_partkey) AS n_parts,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+    """,
+    "events_rollup": """
+        SELECT user_id, event_type, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    # minhash_doc_clusters, lsh_ann_topk: non-SQL-expressible (seeded MinHash
+    # permutations / hyperplane projections + iterative CC) → rows-only check.
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,104 @@
+"""Benchmark runner: headline queries + the dedup pipeline, one JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_FILES          synthetic corpus size for the pipeline bench (default 4000)
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...,
+   "parallelism": N}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect).  The scaling-efficiency protocol (BASELINE.md) runs this
+twice — SPARK_GRAFT_CPUS=8 then 32 — on identical input; see
+scripts/bench_scaling.py which records BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cloud_dedup_spark import run_pipeline  # noqa: E402
+from cloud_dedup_spark.corpus import corpus_df  # noqa: E402
+from cloud_dedup_spark.session import build_session  # noqa: E402
+
+# headline subset: the scale-relevant queries (full list in queries())
+HEADLINE = (
+    "lineitem_pricing",
+    "latest_order_per_customer",
+    "supplier_part_span",
+    "events_rollup",
+    "text_profile",
+    "prefix_fp_groups",
+    "ngram_jaccard_pairs",
+    "unique_docs",
+    "ann_topk",
+    "emb_near_pairs",
+)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_files = int(os.environ.get("BENCH_FILES", "4000"))
+
+    spark = build_session(
+        app_name="cloud-dedup-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    try:
+        queries = entrymod.queries()
+        # JVM/codegen warm-up so the first timed query isn't charged for it
+        _force(queries["lineitem_pricing"](spark, sf_dir))
+        timings: dict[str, float] = {}
+        only_pipeline = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
+        for name in () if only_pipeline else HEADLINE:
+            t0 = time.time()
+            _force(queries[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+        # dedup pipeline throughput on the synthetic planted corpus
+        files, _ = corpus_df(spark, bench_files, seed=42)
+        files = files.cache()
+        n_files = files.count()
+        t0 = time.time()
+        res = run_pipeline(spark, files)
+        _force(res["assignments"])
+        pipe_sec = round(time.time() - t0, 3)
+        timings["dedup_pipeline"] = pipe_sec
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline queries + dedup pipeline wall time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                    "files_per_sec": round(n_files / pipe_sec, 1),
+                    "bench_files": n_files,
+                    "parallelism": cpus,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -205,8 +205,16 @@ def generate_corpus(
     seen_paths: set[Key] = set()
 
     def add(repo: str, path: str, content: str, lang: str | None = None) -> Key:
+        # path namespace collisions are possible at large n — disambiguate
+        # deterministically (suffix before the extension) so (repo, path)
+        # stays a unique key at any corpus size
+        if (repo, path) in seen_paths:
+            stem, dot, ext = path.rpartition(".")
+            i = 2
+            while (repo, f"{stem}_d{i}{dot}{ext}") in seen_paths:
+                i += 1
+            path = f"{stem}_d{i}{dot}{ext}"
         key = (repo, path)
-        assert key not in seen_paths, f"duplicate key planted: {key}"
         seen_paths.add(key)
         rows.append(
             {

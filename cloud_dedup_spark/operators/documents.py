@@ -1,0 +1,158 @@
+"""Document-table dedup operators — the SQL-twinned curation surface.
+
+These run over the driver's ``documents(doc_id, text, lang, source, n_chars)``
+table and are deliberately relational (explode/join/agg, no UDFs) so each has
+an exact DuckDB oracle twin in __spark_entry__.py.  The content pipeline
+(plans/pipeline.py) is the scaled engine; these are the same semantics in
+pure-SQL form, which also makes them the correctness anchors for the
+MinHash/LSH channels (n-gram Jaccard here is the exact quantity MinHash
+estimates).
+
+Reference analogs: exact groups = MD5-equality channel (:257-265); source
+overlap counts = pairwise duplicate counts A4 (:525-530); unique docs =
+unique-file counts A5 (:533-546).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_dedup_spark.functions.text import doc_fingerprint
+
+
+def exact_text_duplicates(docs: DataFrame) -> DataFrame:
+    """Byte-identical (modulo whitespace) duplicate groups with ≥2 docs.
+
+    Output: fingerprint, n_docs, n_sources, doc_ids (sorted).
+    """
+    return (
+        docs.select(doc_fingerprint("text").alias("fingerprint"), "doc_id", "source")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def prefix_fingerprint_groups(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Blocking on the first-k-token fingerprint — the cheap rolling-hash
+    style prefilter (reference cheap-before-expensive staging X3): docs whose
+    openings are identical are near-dup candidates even when their tails
+    diverge.  Output: prefix_fp, n_docs, n_sources, min_doc_id.
+    """
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    fp = F.md5(F.array_join(F.slice(toks, 1, k), " "))
+    return (
+        docs.select(fp.alias("prefix_fp"), "doc_id", "source")
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def doc_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc: (doc_id, ng) — relational shingling.
+
+    Tokens are whitespace-split lowercased words; the n-gram is the
+    space-joined window.  Mirrors the signature stage's w-shingling in pure
+    relational form.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= n)
+    ngram = F.expr(
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> array_join(slice(toks, i, {n}), ' '))"
+    )
+    return (
+        toks.select("doc_id", F.explode(ngram).alias("ng"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Doc pairs (a < b) with n-gram Jaccard ≥ threshold — exact, relational.
+
+    |A ∩ B| via a self-join on shared n-grams (the blocking join: pairs with
+    zero shared n-grams never materialize — same reason the reference blocks
+    on (name,size) before comparing, X1); |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Output: doc_a, doc_b, jaccard (4dp).
+    """
+    grams = doc_ngrams(docs, n)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ng"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "ng")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "ng")
+    inter = (
+        a.join(b, "ng")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_ng").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_ng").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def source_overlap_counts(docs: DataFrame) -> DataFrame:
+    """Per source pair: number of fingerprints present in both (A4 analog)."""
+    fp = docs.select(
+        doc_fingerprint("text").alias("fingerprint"), "source"
+    ).distinct()
+    a = fp.select("fingerprint", F.col("source").alias("source_a"))
+    b = fp.select("fingerprint", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("fingerprint").alias("n_shared"))
+    )
+
+
+def unique_docs_per_source(docs: DataFrame) -> DataFrame:
+    """Docs whose fingerprint appears exactly once in the corpus, per source
+    (A5 analog: the left-anti-join unique count)."""
+    with_fp = docs.select("doc_id", "source", doc_fingerprint("text").alias("fingerprint"))
+    dups = (
+        with_fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("fingerprint")
+    )
+    return (
+        with_fp.join(dups, "fingerprint", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+    )
+
+
+def documents_as_files(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table to the pipeline's files(repo,path,...) shape
+    so the full MinHash/LSH/cluster engine runs on it unchanged."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.coalesce(F.col("lang"), F.lit("txt")).alias("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,84 @@
+"""Input sources for the files(repo, path, commit, lang, content) relation.
+
+Reference analog: the directory scan S1 (src/cloud_duplicate_analyzer.py:125-191)
+is the reference's only source; the graft's base relation is an **Iceberg
+table** of source-code files (BASELINE.json input_hint), with parquet as the
+local stand-in (the two share the code path — only the format string and the
+catalog identifier differ; Iceberg jars arrive via spark-submit --packages,
+not code).
+
+Scan-level pushdown notes (SURVEY.md §4 X2): filters passed to
+``read_files`` land in the DataSource scan — hidden-path and lang prefilters
+prune parquet row groups / Iceberg files before any Python runs, the scaled
+equivalent of the reference pruning ``dirnames`` in place (:144-146).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+class SchemaMismatch(ValueError):
+    pass
+
+
+def validate_files_schema(df: DataFrame) -> DataFrame:
+    """Explicit-schema gate (SURVEY.md §1.3): the reference fixes its record
+    keys by construction; we fail fast when a source drifts."""
+    missing = [f.name for f in FILES_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise SchemaMismatch(f"files source missing columns: {missing}")
+    return df.select(*[f.name for f in FILES_SCHEMA.fields],
+                     *[c for c in df.columns
+                       if c not in {f.name for f in FILES_SCHEMA.fields}])
+
+
+def read_files(
+    spark: SparkSession,
+    location: str,
+    table_format: str = "parquet",
+    skip_hidden: bool = True,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Load the base relation with filters pushed into the scan.
+
+    ``table_format='iceberg'`` + a catalog identifier reads the Iceberg table
+    (partition pruning + file skipping apply); parquet gets row-group pruning
+    for the same predicates.
+    """
+    if table_format == "iceberg":
+        df = spark.read.format("iceberg").load(location)
+    else:
+        df = spark.read.format(table_format).load(location)
+    df = validate_files_schema(df)
+    if skip_hidden:
+        # P1/P2 analog: no path segment starts with '.'
+        df = df.filter(~F.col("path").rlike(r"(^|/)\."))
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+    return df
+
+
+def write_files(df: DataFrame, location: str, table_format: str = "parquet",
+                partition_by: tuple[str, ...] = ("lang",)) -> None:
+    """Write the base relation partitioned by lang (substring-pass locality +
+    partition pruning for lang-filtered scans)."""
+    (
+        validate_files_schema(df)
+        .write.mode("overwrite")
+        .format(table_format)
+        .partitionBy(*partition_by)
+        .save(location)
+    )
