@@ -71,12 +71,24 @@ def main() -> None:
             _force(queries[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
-        # dedup pipeline throughput on the synthetic planted corpus
-        files, _ = corpus_df(spark, bench_files, seed=42)
-        files = files.cache()
+        # dedup pipeline throughput on the synthetic planted corpus.
+        # The corpus is generated once and cached as parquet so repeat runs
+        # (and both parallelism levels of the scaling protocol) read the
+        # identical input bytes.
+        corpus_path = f"/tmp/cloud_dedup_bench_corpus_{bench_files}_42"
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            gen, _ = corpus_df(spark, bench_files, seed=42)
+            gen.write.mode("overwrite").parquet(corpus_path)
+        files = spark.read.parquet(corpus_path)
         n_files = files.count()
+
+        # warm-up: JIT-compile every pipeline code path on a tiny corpus so
+        # the timed run measures steady-state throughput, not JVM warm-up
+        warm, _ = corpus_df(spark, 300, seed=7)
+        _force(run_pipeline(spark, warm, track_rows=False)["assignments"])
+
         t0 = time.time()
-        res = run_pipeline(spark, files)
+        res = run_pipeline(spark, files, track_rows=False)
         _force(res["assignments"])
         pipe_sec = round(time.time() - t0, 3)
         timings["dedup_pipeline"] = pipe_sec

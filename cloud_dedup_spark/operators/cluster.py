@@ -51,21 +51,37 @@ def connected_components(
     sym = sym.localCheckpoint()
 
     for _ in range(max_iterations):
+        # hash-to-min step: min over own label and neighbours' labels
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["file_id"])
             .groupBy(sym["src"].alias("file_id"))
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, "file_id", "left").select(
+            "file_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+            ).alias("cluster_id"),
+            F.col("cluster_id").alias("_old"),
+        )
+        # pointer-jumping step: label ← label(label), collapsing chains in
+        # O(log diameter) total iterations instead of O(diameter) — matters
+        # for the path-shaped components the salted-chain buckets produce
+        parents = stepped.select(
+            F.col("file_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_grand"),
+        )
         new_labels = (
-            labels.join(nbr_min, "file_id", "left")
+            stepped.join(parents, "cluster_id", "left")
             .select(
                 "file_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce("_grand", F.col("cluster_id"))
                 ).alias("cluster_id"),
-                F.col("cluster_id").alias("_old"),
+                "_old",
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if changed == 0:

@@ -12,21 +12,28 @@ see cross-lang containments and serializes each lang into one task):
 
   1. If normalized A appears verbatim in normalized B then every w-shingle of
      A is also a w-shingle of B (the tokenizer is context-free), so
-     shingles(A) ⊆ shingles(B).  In particular A's MINIMUM shingle hash is in
-     B's shingle set.
-  2. Candidates: join needles on ``anchor = array_min(shingles)`` against the
-     exploded shingle inverted index of all (strictly longer) docs.  One
-     anchor per needle keeps the join linear in corpus shingle volume.
-  3. Prefilter: shingle-subset test ``array_except(needle, haystack) = ∅`` —
+     shingles(A) ⊆ shingles(B) — any single shingle of A can serve as a join
+     anchor that B must contain.
+  2. Anchor choice is the scale lever: the needle's **rarest** shingle by
+     corpus document frequency.  (A min-hash anchor was tried first and is
+     quadratic in disguise: with a skewed shingle distribution — boilerplate,
+     small vocabularies — one common shingle value is simultaneously the min
+     of many needles AND present in thousands of haystacks, so the anchor
+     join fans out to needles × haystacks.  Rarest-shingle anchoring bounds
+     each needle's fan-out by the DF of its most selective shingle: ~1 for
+     unique docs, = the true copy count for genuinely embedded snippets.
+     Measured on the 24k-file corpus: 107 s → seconds.)
+  3. Candidates: anchors ⋈ exploded shingle inverted index (strictly longer
+     docs only).
+  4. Prefilter: shingle-subset test ``array_except(needle, haystack) = ∅`` —
      pure JVM, kills almost all false candidates.
-  4. Verify: exact ``contains(haystack_norm, needle_norm)`` on the normalized
+  5. Verify: exact ``contains(haystack_norm, needle_norm)`` on the normalized
      content of surviving pairs — the pass claims *verbatim* substring
      duplicates (north_rule), so the final test is the string itself.
 
-Scale notes: the inverted index is |total distinct shingles per doc| rows —
-linear in corpus token count, shuffled once on the 32-bit shingle key.  Hot
-anchors (a needle whose min-shingle is boilerplate-common) fan out; the
-per-anchor cap bounds that skew and is reported, not silent.  Exact-dup
+Scale notes: two linear passes over the inverted index (DF count + join),
+each shuffled on the 32-bit shingle key; the rarest-anchor argmin is a
+map-side-combinable min(struct(df, sh)) aggregation, not a window.  Exact-dup
 representatives only: byte-identical copies were collapsed upstream, so one
 found needle covers its whole exact family.
 """
@@ -52,26 +59,38 @@ def substring_edges(
         F.col("n_shingles") > 0
     )
 
-    needles = (
-        base.filter(F.col("n_tokens") >= cfg.substring_min_tokens)
-        .select(
-            F.col("file_id").alias("src"),
-            F.col("shingles").alias("needle_sh"),
-            F.col("n_tokens").alias("needle_tokens"),
-            F.array_min("shingles").alias("anchor"),
-        )
-    )
     inverted = base.select(
         F.col("file_id").alias("dst"),
         F.col("n_tokens").alias("hay_tokens"),
-        F.explode("shingles").alias("anchor"),
+        F.explode("shingles").alias("sh"),
+    )
+
+    # document frequency per shingle value (one linear aggregation)
+    doc_freq = inverted.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+
+    # rarest shingle per needle: min(struct(df, sh)) — map-side combinable
+    needle_sh = (
+        base.filter(F.col("n_tokens") >= cfg.substring_min_tokens)
+        .select(
+            F.col("file_id").alias("src"),
+            F.col("n_tokens").alias("needle_tokens"),
+            F.explode("shingles").alias("sh"),
+        )
+        .join(doc_freq, "sh")
+    )
+    anchors = needle_sh.groupBy("src", "needle_tokens").agg(
+        F.min(F.struct("df", "sh"))["sh"].alias("sh")
     )
 
     cand = (
-        needles.join(inverted, "anchor")
+        anchors.join(inverted, "sh")
         .filter(F.col("hay_tokens") > F.col("needle_tokens"))
-        .select("src", "dst", "needle_sh", "needle_tokens")
+        .select("src", "dst", "needle_tokens")
     )
+    needle_arrays = base.select(
+        F.col("file_id").alias("src"), F.col("shingles").alias("needle_sh")
+    )
+    cand = cand.join(needle_arrays, "src")
 
     # shingle-subset prefilter (JVM): all needle shingles present in haystack
     hay_sh = sigs.select(

@@ -93,6 +93,7 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     table_format: str = "parquet",
     collect_partition_stats: bool = False,
+    track_rows: bool = True,
 ) -> dict:
     """Run the full dedup pipeline; returns stage DataFrames + metrics.
 
@@ -103,11 +104,10 @@ def run_pipeline(
     store = CheckpointStore(spark, checkpoint_dir, table_format)
     metrics = RunMetrics()
 
-    def stage(name: str, build: Callable[[], DataFrame],
-              track: bool = True) -> DataFrame:
+    def stage(name: str, build: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.time()
         df = store.materialize(name, build)
-        metrics.record(name, time.time() - t0, df if track else None,
+        metrics.record(name, time.time() - t0, df if track_rows else None,
                        with_partitions=collect_partition_stats)
         return df
 
