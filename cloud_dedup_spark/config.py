@@ -48,6 +48,11 @@ class DedupConfig:
     substring_min_len: int = 64     # ignore containments shorter than this many
                                     # normalized chars (noise floor)
     substring_min_tokens: int = 12  # needles must have at least this many tokens
+    substring_max_anchor_df: int = 1000  # needles whose RAREST shingle still
+                                    # appears in more docs than this are
+                                    # template-dominated; skip them here (the
+                                    # LSH channel owns their duplicates) to
+                                    # bound anchor-join fan-out
     # --- partitioning ---
     shuffle_partitions: int | None = None  # None → leave session setting alone
 

@@ -120,8 +120,11 @@ class _Gen:
         self.rng = random.Random(seed)
 
     def ident(self) -> str:
+        # wide numeric suffix keeps shingle document-frequency realistic at
+        # 10^5+ files — a narrow namespace saturates the shingle vocabulary
+        # and makes every document template-like (artifact, not workload)
         r = self.rng
-        return f"{r.choice(_IDENT_STEMS)}_{r.choice(_IDENT_STEMS)}{r.randrange(100)}"
+        return f"{r.choice(_IDENT_STEMS)}_{r.choice(_IDENT_STEMS)}{r.randrange(10000)}"
 
     def line(self, idents: list[str]) -> str:
         r = self.rng

@@ -192,6 +192,34 @@ def duplicate_groups_meta(
     return out
 
 
+def pair_stats_pivot(files_meta: DataFrame, cfg: MetaConfig | None = None) -> DataFrame:
+    """A11: per service pair, counts by content_match category (the report's
+    section-2 stats, :877-899) — a pivot over the classified pairs.
+
+    Output: service_a, service_b, n_pairs, plus one count column per
+    content_match value seen (identical / different / unverified / symlink /
+    mixed_type).
+    """
+    pairs = candidate_pairs(files_meta, cfg)
+    return (
+        pairs.select(
+            F.col("a.service").alias("service_a"),
+            F.col("b.service").alias("service_b"),
+            "content_match",
+        )
+        .groupBy("service_a", "service_b")
+        .pivot("content_match",
+               ["identical", "different", "unverified", "symlink", "mixed_type"])
+        .count()
+        .na.fill(0)
+        .withColumn(
+            "n_pairs",
+            F.col("identical") + F.col("different") + F.col("unverified")
+            + F.col("symlink") + F.col("mixed_type"),
+        )
+    )
+
+
 def mixed_type_second_pass(
     files_meta: DataFrame, handled: DataFrame, cfg: MetaConfig | None = None
 ) -> DataFrame:

@@ -31,11 +31,15 @@ see cross-lang containments and serializes each lang into one task):
      content of surviving pairs — the pass claims *verbatim* substring
      duplicates (north_rule), so the final test is the string itself.
 
-Scale notes: two linear passes over the inverted index (DF count + join),
-each shuffled on the 32-bit shingle key; the rarest-anchor argmin is a
-map-side-combinable min(struct(df, sh)) aggregation, not a window.  Exact-dup
-representatives only: byte-identical copies were collapsed upstream, so one
-found needle covers its whole exact family.
+Scale notes: the exploded shingle index (|corpus tokens| rows) is only ever
+scanned — the anchor frames stay K·|docs| rows and broadcast into it, so no
+index-sized shuffle exists (measured: the shuffle variant was disk-bound and
+parallelism-flat at 2·10^8 index rows).  The explicit broadcast() hints fit
+comfortably to ~10^7 needles; beyond that drop the hints and the same plan
+becomes plain shuffle hash joins, still linear (AQE picks broadcast back up
+per-partition where sizes allow).  Exact-dup representatives only:
+byte-identical copies were collapsed upstream, so one found needle covers its
+whole exact family.
 """
 
 from __future__ import annotations
@@ -65,25 +69,44 @@ def substring_edges(
         F.explode("shingles").alias("sh"),
     )
 
-    # document frequency per shingle value (one linear aggregation)
-    doc_freq = inverted.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-
-    # rarest shingle per needle: min(struct(df, sh)) — map-side combinable
-    needle_sh = (
-        base.filter(F.col("n_tokens") >= cfg.substring_min_tokens)
-        .select(
-            F.col("file_id").alias("src"),
-            F.col("n_tokens").alias("needle_tokens"),
-            F.explode("shingles").alias("sh"),
-        )
-        .join(doc_freq, "sh")
-    )
-    anchors = needle_sh.groupBy("src", "needle_tokens").agg(
-        F.min(F.struct("df", "sh"))["sh"].alias("sh")
+    # Candidate anchors: each needle's K min-valued shingles.  Shingle hashes
+    # are uniform, so these are K random samples of the doc's shingle set —
+    # the rarest of them is corpus-rare for any doc with ANY distinctive
+    # content (P[all K common] = common_fraction^K).  Keeping K small makes
+    # every frame below broadcastable, so the 10^8-row exploded index is only
+    # ever SCANNED (twice), never shuffled.
+    K = 8
+    cand_anchors = base.filter(
+        F.col("n_tokens") >= cfg.substring_min_tokens
+    ).select(
+        F.col("file_id").alias("src"),
+        F.col("n_tokens").alias("needle_tokens"),
+        F.explode(F.slice(F.array_sort("shingles"), 1, K)).alias("sh"),
     )
 
+    # DF only for candidate-anchor values: broadcast-semi-filter the index,
+    # then a map-side-combinable count — no full-index shuffle
+    anchor_values = cand_anchors.select("sh").distinct()
+    doc_freq = (
+        inverted.join(F.broadcast(anchor_values), "sh", "left_semi")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    # rarest candidate anchor per needle; needles whose rarest shingle is
+    # still corpus-common are template-dominated — the near-dup channel owns
+    # their duplicates, and keeping them would re-create quadratic fan-out
+    anchors = (
+        cand_anchors.join(F.broadcast(doc_freq), "sh")
+        .groupBy("src", "needle_tokens")
+        .agg(F.min(F.struct("df", "sh")).alias("m"))
+        .filter(F.col("m.df") <= cfg.substring_max_anchor_df)
+        .select("src", "needle_tokens", F.col("m.sh").alias("sh"))
+    )
+
+    # candidates: broadcast the per-needle anchors into the index scan
     cand = (
-        anchors.join(inverted, "sh")
+        inverted.join(F.broadcast(anchors), "sh")
         .filter(F.col("hay_tokens") > F.col("needle_tokens"))
         .select("src", "dst", "needle_tokens")
     )

@@ -36,7 +36,18 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFra
     edits that shingle Jaccard underrates; the Jaccard floor stops
     boilerplate-only pairs from sneaking through on fingerprint luck).
     """
-    side = sigs.select("file_id", "shingles", "simhash")
+    # candidate pairs touch a small fraction of files — semi-filter the wide
+    # signature table (shingle arrays dominate its bytes) down to paired ids
+    # BEFORE the equi-joins, so only the filtered slice shuffles (measured:
+    # shuffling the full array column twice was the stage's main cost)
+    paired_ids = (
+        pairs.select(F.col("src").alias("file_id"))
+        .unionByName(pairs.select(F.col("dst").alias("file_id")))
+        .distinct()
+    )
+    side = sigs.select("file_id", "shingles", "simhash").join(
+        F.broadcast(paired_ids), "file_id", "left_semi"
+    )
     a = side.select(
         F.col("file_id").alias("src"),
         F.col("shingles").alias("sh_a"),

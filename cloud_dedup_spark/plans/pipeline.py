@@ -104,6 +104,16 @@ def run_pipeline(
     store = CheckpointStore(spark, checkpoint_dir, table_format)
     metrics = RunMetrics()
 
+    # Parallelism guard: a narrow input (few parquet splits, small
+    # createDataFrame) would serialize the normalize + signature stages —
+    # measured as a hard scaling ceiling (the whole pipeline inherited 2
+    # partitions from a 250 MB corpus file).  One up-front round-robin
+    # shuffle is cheap next to the per-file CPU work it unlocks; skipped
+    # when the source is already wide (the 100 TB case).
+    par = spark.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < par:
+        files = files.repartition(par * 2)
+
     def stage(name: str, build: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.time()
         df = store.materialize(name, build)
@@ -121,7 +131,15 @@ def run_pipeline(
         exact.filter("is_exact_rep").select("file_id"), "file_id", "inner"
     )
 
-    sigs = stage("signatures", lambda: compute_signatures(reps, cfg))
+    # Round-robin widen before the Python stage: the UDF cost is per-token,
+    # and file sizes cluster (vendored trees, generated code), so inherited
+    # scan splits give straggler tasks — measured as 3-4 workers grinding
+    # for 3× the median task time while the rest idle.  par*4 partitions
+    # give the scheduler slack to balance; the extra shuffle is row-narrow.
+    sigs = stage(
+        "signatures",
+        lambda: compute_signatures(reps.repartition(par * 4), cfg),
+    )
 
     verified = stage(
         "candidate_edges",

@@ -47,8 +47,15 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # content rows are wide and every scan feeds CPU-heavy stages (regex
+        # normalize, signature UDF): smaller scan splits keep all cores busy
+        # on modest inputs; at PB scale the input has thousands of splits
+        # regardless and this only bounds per-task memory
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver heap IS the cluster's memory; 8g chokes (spill-
+        # bound, parallelism-insensitive) beyond ~50k wide content rows
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
