@@ -52,7 +52,9 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    bench_files = int(os.environ.get("BENCH_FILES", "4000"))
+    # large enough that pipeline throughput reflects compute, not the ~30
+    # small-stage latency floor (see BENCH/BASELINE.md analysis)
+    bench_files = int(os.environ.get("BENCH_FILES", "48000"))
 
     spark = build_session(
         app_name="cloud-dedup-bench",
