@@ -50,20 +50,38 @@ from pyspark.sql import functions as F
 from cloud_dedup_spark.config import DedupConfig
 
 def substring_edges(
-    reps: DataFrame, sigs: DataFrame, cfg: DedupConfig
+    reps: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    needle_ids: DataFrame | None = None,
+    haystack_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Containment edges (src=needle, dst=haystack, src<dst after normalize).
 
     ``reps``: identity frame of exact representatives (file_id, content_norm).
     ``sigs``: signature table (file_id, shingles, n_shingles, n_tokens).
+    ``needle_ids`` / ``haystack_ids``: optional (file_id) frames restricting
+    the respective side — the incremental path runs two delta-anchored calls
+    (delta needles ⋈ all haystacks, all needles ⋈ delta haystacks) instead of
+    recomputing the full cross of an unchanged corpus.
     Output: src, dst, needle_len (tokens), where needle content appears
     verbatim inside haystack content.
     """
     base = sigs.select("file_id", "shingles", "n_shingles", "n_tokens").filter(
         F.col("n_shingles") > 0
     )
+    needle_base = base
+    if needle_ids is not None:
+        needle_base = base.join(
+            F.broadcast(needle_ids.select("file_id")), "file_id", "left_semi"
+        )
+    hay_base = base
+    if haystack_ids is not None:
+        hay_base = base.join(
+            F.broadcast(haystack_ids.select("file_id")), "file_id", "left_semi"
+        )
 
-    inverted = base.select(
+    inverted = hay_base.select(
         F.col("file_id").alias("dst"),
         F.col("n_tokens").alias("hay_tokens"),
         F.explode("shingles").alias("sh"),
@@ -76,7 +94,7 @@ def substring_edges(
     # every frame below broadcastable, so the 10^8-row exploded index is only
     # ever SCANNED (twice), never shuffled.
     K = 8
-    cand_anchors = base.filter(
+    cand_anchors = needle_base.filter(
         F.col("n_tokens") >= cfg.substring_min_tokens
     ).select(
         F.col("file_id").alias("src"),

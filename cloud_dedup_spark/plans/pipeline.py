@@ -148,13 +148,14 @@ def run_pipeline(
 
     sub_edges = stage("substring_edges", lambda: substring_edges(reps, sigs, cfg))
 
-    edges = (
-        exact_pair_edges(exact)
+    edges = stage(
+        "edges",
+        lambda: exact_pair_edges(exact)
         .unionByName(
             accepted_edges(verified).select("src", "dst", "edge_kind", "score")
         )
         .unionByName(substring_edge_list(sub_edges))
-        .select("src", "dst", "edge_kind", "score")
+        .select("src", "dst", "edge_kind", "score"),
     )
 
     assignments = stage(

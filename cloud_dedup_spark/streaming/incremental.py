@@ -10,17 +10,29 @@ without recomputing the world.  That is a natural fit for
 deterministic batch operators over the delta and MERGEs into the stage
 tables (append-only parquet here; Iceberg MERGE INTO on a cluster).
 
-Full near-dup incrementality (delta LSH join against the existing signature
-index) is the designed extension: new files' band hashes join the existing
-``signatures`` checkpoint — an equi-join, no rescan of old content.  Batch
-operators are reused verbatim either way, which is the point: streaming here
-is an ingestion mode, not a second engine.
+Full near-dup incrementality is ``incremental_dedup_update``: only the delta
+pays the Python signature cost; prior stage tables (identity, signatures,
+edges) are *scanned*, never recomputed.  New candidate pairs come from three
+delta-anchored channels — exact (delta sha ⋈ union sha groups), LSH (delta
+bands ⋈ union bands), substring (delta needles ⋈ union index AND union
+needles ⋈ delta index — a new haystack can contain an old needle) — and
+clusters are re-resolved over prior ∪ new edges (connected components is
+cheap relative to signature computation).  The result is provably identical
+to a full recompute over the union: every cross-(prior, delta) and
+delta-delta edge channel is covered, prior-prior edges persist, and labels
+are min-file_id either way (pinned by
+tests/test_incremental.py::test_incremental_equals_full_recompute).
+
+Batch operators are reused verbatim throughout: streaming/incremental is an
+ingestion mode, not a second engine.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from cloud_dedup_spark.config import DedupConfig
 from cloud_dedup_spark.functions.normalize import with_identity
 from cloud_dedup_spark.sources.files_source import FILES_SCHEMA
 
@@ -32,6 +44,143 @@ def stream_files(spark: SparkSession, location: str) -> DataFrame:
         .format("parquet")
         .load(location)
     )
+
+
+def incremental_dedup_update(
+    spark: SparkSession,
+    new_files: DataFrame,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    table_format: str = "parquet",
+) -> dict:
+    """Fold a batch of new files into existing dedup state (delta-anchored).
+
+    Requires a prior ``run_pipeline(..., checkpoint_dir=...)`` run (stage
+    tables: identity, signatures, edges).  Only the delta runs the Python
+    signature stage; prior tables are scanned.  Appends delta rows to
+    identity/signatures, rewrites edges/cluster_labels, and returns
+    {assignments, edges, delta_signatures}.
+    """
+    from cloud_dedup_spark.functions.normalize import with_identity
+    from cloud_dedup_spark.operators.candidates import explode_bands
+    from cloud_dedup_spark.operators.signatures import compute_signatures
+    from cloud_dedup_spark.operators.substring import (
+        substring_edge_list,
+        substring_edges,
+    )
+    from cloud_dedup_spark.operators.verify import accepted_edges, verify_pairs
+    from cloud_dedup_spark.operators.cluster import cluster_assignments
+    from pyspark.sql import Window
+
+    cfg = cfg or DedupConfig()
+    loc = checkpoint_dir.rstrip("/")
+    load = lambda name: spark.read.format(table_format).load(f"{loc}/{name}")  # noqa: E731
+
+    prior_identity = load("identity")
+    prior_sigs = load("signatures")
+    prior_edges = load("edges")
+
+    par = spark.sparkContext.defaultParallelism
+    delta_identity = with_identity(new_files)
+    # idempotency guard: a re-delivered file (same repo/path/commit → same
+    # file_id) must not double-append — at-least-once upstream delivery is
+    # the norm for ingest queues
+    delta_identity = delta_identity.join(
+        prior_identity.select("file_id"), "file_id", "left_anti"
+    )
+    if delta_identity.rdd.getNumPartitions() < par:
+        delta_identity = delta_identity.repartition(par * 2)
+    delta_identity = delta_identity.localCheckpoint()
+
+    # --- exact channel: star edges within sha groups touched by the delta ---
+    id_cols = ["content_sha256", "file_id"]
+    union_sha = prior_identity.select(*id_cols).unionByName(
+        delta_identity.select(*id_cols)
+    )
+    delta_shas = delta_identity.select("content_sha256").distinct()
+    touched = union_sha.join(F.broadcast(delta_shas), "content_sha256", "left_semi")
+    w = Window.partitionBy("content_sha256")
+    exact_new = (
+        touched.withColumn("rep", F.min("file_id").over(w))
+        .filter(F.col("file_id") != F.col("rep"))
+        .select(
+            F.least("rep", "file_id").alias("src"),
+            F.greatest("rep", "file_id").alias("dst"),
+            F.lit("exact").alias("edge_kind"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+    # --- similarity channels: only brand-new content computes signatures ---
+    new_content = delta_identity.join(
+        prior_identity.select("content_sha256"), "content_sha256", "left_anti"
+    )
+    delta_reps = (
+        new_content.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("content_sha256").orderBy("file_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    delta_sigs = compute_signatures(delta_reps, cfg).localCheckpoint()
+    union_sigs = prior_sigs.unionByName(delta_sigs)
+
+    # LSH: delta bands against the union — covers delta↔delta and delta↔prior
+    delta_bands = explode_bands(delta_sigs)
+    union_bands = explode_bands(union_sigs)
+    lsh_pairs = (
+        delta_bands.join(
+            union_bands.withColumnRenamed("file_id", "other_id"), "band_key"
+        )
+        .filter(F.col("file_id") != F.col("other_id"))
+        .select(
+            F.least("file_id", "other_id").alias("src"),
+            F.greatest("file_id", "other_id").alias("dst"),
+        )
+        .distinct()
+    )
+    near_new = accepted_edges(verify_pairs(lsh_pairs, union_sigs, cfg)).select(
+        "src", "dst", "edge_kind", "score"
+    )
+
+    # substring: both delta-anchored directions (new needle in old haystack,
+    # old needle in new haystack; delta↔delta covered by the first)
+    union_identity = prior_identity.unionByName(delta_identity)
+    delta_ids = delta_sigs.select("file_id")
+    sub_new = substring_edge_list(
+        substring_edges(union_identity, union_sigs, cfg, needle_ids=delta_ids)
+        .unionByName(
+            substring_edges(
+                union_identity, union_sigs, cfg, haystack_ids=delta_ids
+            )
+        )
+        .distinct()
+    )
+
+    all_edges = (
+        prior_edges.unionByName(exact_new)
+        .unionByName(near_new)
+        .unionByName(sub_new)
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint()  # materialize BEFORE overwriting the table it reads
+    )
+    assignments = cluster_assignments(union_identity, all_edges).localCheckpoint()
+
+    # persist: append delta slices, rewrite derived tables
+    delta_identity.write.mode("append").format(table_format).save(f"{loc}/identity")
+    delta_sigs.write.mode("append").format(table_format).save(f"{loc}/signatures")
+    all_edges.write.mode("overwrite").format(table_format).save(f"{loc}/edges")
+    assignments.write.mode("overwrite").format(table_format).save(
+        f"{loc}/cluster_labels"
+    )
+    return {
+        "assignments": assignments,
+        "edges": all_edges,
+        "delta_signatures": delta_sigs,
+    }
 
 
 def incremental_exact_index(

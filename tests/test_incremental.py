@@ -1,0 +1,101 @@
+"""Incremental dedup updates: delta batch folded into checkpointed state must
+equal a full recompute over the union (the equivalence that makes
+incremental ingest trustworthy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cloud_dedup_spark import run_pipeline
+from cloud_dedup_spark.corpus import _Gen, _near_edit, generate_corpus
+from cloud_dedup_spark.streaming.incremental import incremental_dedup_update
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+BASE_N = 250
+
+
+def _clusters(assignments) -> set[frozenset]:
+    got: dict = {}
+    for r in assignments.collect():
+        got.setdefault(r["cluster_id"], set()).add((r["repo"], r["path"]))
+    return {frozenset(v) for v in got.values() if len(v) >= 2}
+
+
+@pytest.fixture(scope="module")
+def state(spark, tmp_path_factory):
+    rows, _ = generate_corpus(BASE_N, seed=11)
+    base = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+         for r in rows], SCHEMA)
+    ckpt = str(tmp_path_factory.mktemp("inc_ckpt"))
+    run_pipeline(spark, base, checkpoint_dir=ckpt)
+
+    # delta exercising every cross-(prior, delta) channel
+    gen = _Gen(99)
+    old_a = rows[0]["content"]          # exact-dup target
+    old_b = rows[1]["content"]          # near-edit target
+    old_c = rows[2]["content"]          # old needle → new haystack
+    new_short = gen.body(25)            # new needle → new+old haystacks
+    new_pair = gen.body(70)             # delta-internal exact pair
+    delta_rows = [
+        ("repo_c", "inc/exact_of_old.py", "d1", "py", old_a),
+        ("repo_c", "inc/near_of_old.py", "d2", "py", _near_edit(old_b, gen.rng)),
+        ("repo_c", "inc/hay_with_old.py", "d3", "py",
+         gen.body(60) + "\n\n" + old_c + "\n\n" + gen.body(60)),
+        ("repo_a", "inc/new_short.py", "d4", "py", new_short),
+        ("repo_b", "inc/new_hay.py", "d5", "py",
+         gen.body(50) + "\n\n" + new_short + "\n\n" + gen.body(50)),
+        ("repo_a", "inc/pair1.py", "d6", "py", new_pair),
+        ("repo_b", "inc/pair2.py", "d7", "py", new_pair),
+        ("repo_c", "inc/unique.py", "d8", "py", gen.body(40)),
+    ]
+    delta = spark.createDataFrame(delta_rows, SCHEMA)
+    inc = incremental_dedup_update(spark, delta, ckpt)
+    return base, delta, ckpt, inc
+
+
+def test_incremental_equals_full_recompute(spark, state):
+    base, delta, ckpt, inc = state
+    inc_clusters = _clusters(inc["assignments"])
+
+    full = run_pipeline(spark, base.unionByName(delta))
+    full_clusters = _clusters(full["assignments"])
+    assert inc_clusters == full_clusters
+
+
+def test_delta_channels_all_fired(spark, state):
+    base, delta, ckpt, inc = state
+    asg = spark.read.parquet(f"{ckpt}/cluster_labels")
+    clusters = _clusters(asg)
+
+    def cluster_of(key):
+        for c in clusters:
+            if key in c:
+                return c
+        return None
+
+    base_keys = {(r["repo"], r["path"]) for r in base.collect()}
+    # exact-of-old joined an existing file's cluster
+    c = cluster_of(("repo_c", "inc/exact_of_old.py"))
+    assert c and any(k in base_keys for k in c)
+    # near-of-old joined its source's cluster
+    c = cluster_of(("repo_c", "inc/near_of_old.py"))
+    assert c and any(k in base_keys for k in c)
+    # old needle (base rows[2]) merged with the new haystack
+    c = cluster_of(("repo_c", "inc/hay_with_old.py"))
+    assert c is not None
+    # new needle links to the new haystack that embeds it
+    c = cluster_of(("repo_a", "inc/new_short.py"))
+    assert c and ("repo_b", "inc/new_hay.py") in c
+    # delta-internal exact pair clustered
+    c = cluster_of(("repo_a", "inc/pair1.py"))
+    assert c and ("repo_b", "inc/pair2.py") in c
+    # unique stays unclustered
+    assert cluster_of(("repo_c", "inc/unique.py")) is None
+
+
+def test_state_tables_grew(spark, state):
+    base, delta, ckpt, inc = state
+    n_total = base.count() + delta.count()
+    assert spark.read.parquet(f"{ckpt}/identity").count() == n_total
+    assert spark.read.parquet(f"{ckpt}/cluster_labels").count() == n_total
