@@ -36,6 +36,11 @@ class DedupConfig:
     num_bands: int = 32             # num_bands * rows_per_band == num_hashes
     rows_per_band: int = 4
     minhash_seed: int = 42
+    minhash_mode: str = "oph"       # 'oph': one-permutation hashing with
+                                    # rotation densification, O(m) per doc;
+                                    # 'universal': k independent (a·x+b) mod p
+                                    # hashes, O(k·m) — the reference estimator
+                                    # the OPH tests compare against
     # --- SimHash ---
     simhash_bits: int = 64
     hamming_threshold: int = 3      # near-dup if popcount(xor) <= this

@@ -41,13 +41,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cloud_dedup_spark.config import MERSENNE_P, DedupConfig
+from cloud_dedup_spark.config import MAX_U64, MERSENNE_P, DedupConfig
 
 _TOKEN_RE = re.compile(r"[a-z_][a-z0-9_]*|[0-9]+|[^\sa-z0-9_]")
 
 # Odd multiplier for the rolling shingle combine (64-bit wraparound is fine —
 # we only need a well-mixed deterministic value, not a modular inverse).
 _SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _SIG_SCHEMA = T.StructType(
     [
@@ -116,6 +118,43 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1).astype(np.int64)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Stateless 64-bit mixer (SplitMix64 finalizer) — uint64 in/out."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _oph_minhash(shingles: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """One-permutation MinHash with rotation densification — O(m), not O(k·m).
+
+    One hash pass assigns each shingle to one of k bins (its low bits); each
+    bin keeps the minimum hash value landing in it; empty bins borrow the
+    next non-empty bin's value cyclically (densified MinHash, Shrivastava &
+    Li 2014 — both sides densify identically, so collision probability stays
+    ≈ Jaccard; unbiasedness is pinned empirically in
+    tests/test_signatures.py).  k must be a power of two.
+    """
+    h = _splitmix64(shingles ^ np.uint64(seed * 0x9E3779B97F4A7C15 & MAX_U64))
+    bins = (h & np.uint64(k - 1)).astype(np.int64)
+    sig = np.full(k, _U64_MAX, dtype=np.uint64)
+    # group-min via sort + reduceat (np.minimum.at is an order of magnitude
+    # slower for this shape)
+    order = np.argsort(bins, kind="stable")
+    hv = h[order]
+    uniq_bins, first_idx = np.unique(bins[order], return_index=True)
+    sig[uniq_bins] = np.minimum.reduceat(hv, first_idx)
+    if len(uniq_bins) < k:
+        if len(uniq_bins) == 0:  # degenerate: no shingles reached any bin
+            return np.zeros(k, dtype=np.int64)
+        # rotation densification, vectorized: each bin borrows from the next
+        # non-empty bin to its right (cyclic)
+        pos = np.searchsorted(uniq_bins, np.arange(k))
+        sig = sig[uniq_bins[pos % len(uniq_bins)]]
+    return sig.astype(np.int64)
+
+
 def _band_hashes(sig: np.ndarray, num_bands: int, rows: int) -> np.ndarray:
     """Hash each (band of r signature values) to one int64 key."""
     mat = sig.astype(np.uint64).reshape(num_bands, rows)
@@ -155,6 +194,10 @@ def make_signature_udf(cfg: DedupConfig):
     a_params, b_params = _hash_params(cfg)
     k = cfg.shingle_size
     nb, r = cfg.num_bands, cfg.rows_per_band
+    use_oph = cfg.minhash_mode == "oph"
+    n_hashes, seed = cfg.num_hashes, cfg.minhash_seed
+    if use_oph and (n_hashes & (n_hashes - 1)):
+        raise ValueError("minhash_mode='oph' requires power-of-two num_hashes")
 
     @F.pandas_udf(_SIG_SCHEMA)
     def signature_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -172,7 +215,10 @@ def make_signature_udf(cfg: DedupConfig):
                 # int32 reinterpretation for compact ArrayType(IntegerType)
                 out["shingles"].append(sh.astype(np.uint32).astype(np.int32))
                 if len(sh):
-                    sig = _minhash(sh, a_params, b_params)
+                    if use_oph:
+                        sig = _oph_minhash(sh, n_hashes, seed)
+                    else:
+                        sig = _minhash(sh, a_params, b_params)
                     out["minhash"].append(sig)
                     out["band_hashes"].append(_band_hashes(sig, nb, r))
                 else:

@@ -16,6 +16,7 @@ from cloud_dedup_spark.functions.normalize import with_identity
 from cloud_dedup_spark.operators.signatures import (
     _hash_params,
     _minhash,
+    _oph_minhash,
     _shingle_hashes,
     _simhash,
     _TOKEN_RE,
@@ -25,9 +26,11 @@ from cloud_dedup_spark.operators.signatures import (
 CFG = DedupConfig()
 
 
-def _sig_of(text: str) -> np.ndarray:
+def _sig_of(text: str, mode: str = "universal") -> np.ndarray:
     tokens = _TOKEN_RE.findall(text.lower())
     sh = _shingle_hashes(tokens, CFG.shingle_size, {})
+    if mode == "oph":
+        return _oph_minhash(sh, CFG.num_hashes, CFG.minhash_seed)
     a, b = _hash_params(CFG)
     return _minhash(sh, a, b)
 
@@ -46,8 +49,9 @@ def test_minhash_identical_vs_disjoint():
     assert dis_frac < 0.1
 
 
-def test_minhash_estimates_jaccard():
-    """MinHash agreement fraction ≈ true Jaccard of the shingle sets."""
+@pytest.mark.parametrize("mode", ["universal", "oph"])
+def test_minhash_estimates_jaccard(mode):
+    """MinHash agreement fraction ≈ true Jaccard — both estimator modes."""
     words = [f"w{i}" for i in range(300)]
     a_txt = " ".join(words)
     b_txt = " ".join(words[:240] + [f"x{i}" for i in range(60)])
@@ -56,8 +60,26 @@ def test_minhash_estimates_jaccard():
     sh_a = set(_shingle_hashes(tokens_a, CFG.shingle_size, {}).tolist())
     sh_b = set(_shingle_hashes(tokens_b, CFG.shingle_size, {}).tolist())
     true_j = len(sh_a & sh_b) / len(sh_a | sh_b)
-    est_j = (_sig_of(a_txt) == _sig_of(b_txt)).mean()
+    est_j = (_sig_of(a_txt, mode) == _sig_of(b_txt, mode)).mean()
     assert abs(est_j - true_j) < 0.15  # 128 hashes → σ ≈ 0.044
+
+
+def test_oph_deterministic_and_distinct():
+    t = "def load_parse(a, b): return a + b"
+    assert np.array_equal(_sig_of(t, "oph"), _sig_of(t, "oph"))
+    other = "completely unrelated words forming different shingles entirely here"
+    assert not np.array_equal(_sig_of(t, "oph"), _sig_of(other, "oph"))
+
+
+def test_oph_densification_fills_all_bins():
+    """Short docs leave most of the 128 bins empty; densification must fill
+    every bin deterministically (identical short docs → identical sigs)."""
+    sh = _shingle_hashes(["a", "b", "c", "d", "e", "f"], CFG.shingle_size, {})
+    sig = _oph_minhash(sh, CFG.num_hashes, CFG.minhash_seed)
+    assert len(sig) == CFG.num_hashes
+    assert (sig != np.iinfo(np.int64).max).all()
+    sig2 = _oph_minhash(sh.copy(), CFG.num_hashes, CFG.minhash_seed)
+    assert np.array_equal(sig, sig2)
 
 
 def test_simhash_hamming_small_for_near_edit():
