@@ -32,6 +32,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 50,
+    check_every: int = 2,
 ) -> DataFrame:
     """Label every vertex with the min file_id of its component.
 
@@ -50,7 +51,7 @@ def connected_components(
     labels = verts.withColumn("cluster_id", F.col("file_id")).localCheckpoint()
     sym = sym.localCheckpoint()
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # hash-to-min step: min over own label and neighbours' labels
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["file_id"])
@@ -82,10 +83,18 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("cluster_id") != F.col("_old")).count()
+        # the convergence count is a full extra job; with pointer jumping the
+        # loop converges in O(log diameter) rounds, so probing every
+        # ``check_every``-th round trades at most one surplus iteration for
+        # half the count jobs (part of the small-stage latency floor,
+        # BENCH/ANALYSIS.md)
         labels = new_labels.drop("_old")
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            changed = new_labels.filter(
+                F.col("cluster_id") != F.col("_old")
+            ).count()
+            if changed == 0:
+                break
     return labels
 
 
