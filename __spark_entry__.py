@@ -150,11 +150,16 @@ def q_supplier_part_span(spark, sf_dir):
     """Distinct-agg + broadcast-dimension join (J2 label-dimension analog)."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
+    # revenue summed as decimal(18,4) (TPC-H semantics): decimal addition is
+    # order-independent, so Spark's partial-aggregation order and DuckDB's
+    # sequential order produce the identical cent — a double sum differed by
+    # $0.01 for one supplier at sf0.01 (round-1 hash mismatch).
+    rev_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     per_supp = li.groupBy("l_suppkey").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum(rev_term), 2).cast("double").alias("revenue"),
     )
     return per_supp.join(
         F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
@@ -381,7 +386,8 @@ _ORACLES: dict[str, str] = {
     "supplier_part_span": """
         SELECT l_suppkey AS suppkey, s_name,
                count(DISTINCT l_partkey) AS n_parts,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE
+                 AS revenue
         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         GROUP BY 1, 2
     """,

@@ -40,13 +40,19 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFra
     # signature table (shingle arrays dominate its bytes) down to paired ids
     # BEFORE the equi-joins, so only the filtered slice shuffles (measured:
     # shuffling the full array column twice was the stage's main cost)
+    # No explicit broadcast hint: paired_ids scales with the corpus (every
+    # file in any LSH bucket of size >= 2), so forcing a broadcast OOMs the
+    # driver at 10^9 files.  AQE picks a broadcast semi-join when the id set
+    # is below spark.sql.autoBroadcastJoinThreshold and falls back to a
+    # shuffled semi-join when it isn't — both plans keep the wide shingle
+    # column on the streamed side only.
     paired_ids = (
         pairs.select(F.col("src").alias("file_id"))
         .unionByName(pairs.select(F.col("dst").alias("file_id")))
         .distinct()
     )
     side = sigs.select("file_id", "shingles", "simhash").join(
-        F.broadcast(paired_ids), "file_id", "left_semi"
+        paired_ids, "file_id", "left_semi"
     )
     a = side.select(
         F.col("file_id").alias("src"),

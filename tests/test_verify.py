@@ -77,6 +77,33 @@ def test_empty_files_never_reach_lsh(spark):
     assert row is None
 
 
+def test_verify_semi_join_not_pinned_to_broadcast(spark, gen):
+    """The paired-ids semi-filter must not carry an explicit broadcast hint:
+    candidate-pair id sets scale with the corpus, and a pinned broadcast OOMs
+    at 10^9 files.  With autoBroadcastJoinThreshold disabled the plan must
+    contain NO BroadcastExchange — i.e. the optimizer (AQE) chooses the
+    strategy, not a hard-coded hint."""
+    df = spark.createDataFrame(
+        [("r", f"f{i}.py", "c", "py", gen.body(30)) for i in range(8)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    # cut lineage so the plan under inspection is the verify stage alone
+    # (candidates.py legitimately broadcast-hints its tiny hot-key list)
+    sigs = compute_signatures(with_identity(df), CFG).localCheckpoint()
+    pairs = lsh_candidate_pairs(sigs, CFG).localCheckpoint()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        verified = verify_pairs(pairs, sigs, CFG)
+        plan = verified._sc._jvm.PythonSQLUtils.explainString(
+            verified._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastExchange" not in plan
+        assert "LeftSemi" in plan  # the semi-filter itself survived
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_simhash_channel_catches_token_rename(spark, gen):
     """Occurrence-wide single-identifier rename: Jaccard may dip below τ but
     SimHash Hamming stays tiny — the secondary acceptance channel."""
