@@ -26,9 +26,11 @@ from cloud_dedup_spark.operators.documents import (
     source_overlap_counts,
     unique_docs_per_source,
 )
+from cloud_dedup_spark.operators.ivf import ivf_topk
 from cloud_dedup_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_pairs,
+    cosine_near_pairs_lsh,
     lsh_bucketed_topk,
 )
 from cloud_dedup_spark.plans.pipeline import run_pipeline
@@ -69,7 +71,11 @@ def q_prefix_fp_groups(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    # df_cap bounds per-gram join fan-out to cap² (boilerplate guard); the
+    # DuckDB oracle applies the identical cap, so the hash stays exact.
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, df_cap=50
+    )
 
 
 def q_text_profile(spark, sf_dir):
@@ -189,6 +195,25 @@ def q_minhash_doc_clusters(spark, sf_dir):
     )
 
 
+def q_emb_near_pairs_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH blocked near pairs — the scale twin of
+    emb_near_pairs (equi-join on band keys, no cartesian; candidates exactly
+    re-scored, recall pinned ≥0.95 vs the exact twin in test_similarity.py).
+    Non-SQL (seeded hyperplane projections) → rows-only driver check."""
+    return cosine_near_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, target_recall=0.98
+    )
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: k-means coarse cells + nprobe search — the 100 TB top-k path
+    (recall@k pinned vs brute force in test_similarity.py).  Non-SQL
+    (iterative k-means) → rows-only driver check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, k=3, n_cells=16, nprobe=10)
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (non-SQL: rows-only driver check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -215,6 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "minhash_doc_clusters": q_minhash_doc_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "emb_near_pairs_lsh": q_emb_near_pairs_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -251,9 +278,13 @@ _ORACLES: dict[str, str] = {
         ), idx AS (
           SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
           FROM toks WHERE len(arr) >= 3
-        ), grams AS (
+        ), grams0 AS (
           SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ng
           FROM idx
+        ), kept AS (
+          SELECT ng FROM grams0 GROUP BY ng HAVING count(*) <= 50
+        ), grams AS (
+          SELECT doc_id, ng FROM grams0 JOIN kept USING (ng)
         ), sizes AS (
           SELECT doc_id, count(*) AS n_ng FROM grams GROUP BY doc_id
         ), inter AS (

@@ -79,7 +79,7 @@ def doc_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, df_cap: int | None = None
 ) -> DataFrame:
     """Doc pairs (a < b) with n-gram Jaccard ≥ threshold — exact, relational.
 
@@ -87,8 +87,26 @@ def ngram_jaccard_pairs(
     zero shared n-grams never materialize — same reason the reference blocks
     on (name,size) before comparing, X1); |A ∪ B| = |A| + |B| − |A ∩ B|.
     Output: doc_a, doc_b, jaccard (4dp).
+
+    ``df_cap`` bounds join fan-out — the same guard the substring channel
+    applies to its anchor index (substring.py): one boilerplate n-gram shared
+    by f docs otherwise produces f² intermediate rows, the wrong shape at
+    100× scale.  With a cap, the gram universe is restricted to n-grams whose
+    document frequency ≤ cap BEFORE sizes and intersections are computed, so
+    the result is the exact Jaccard over *discriminative* n-grams (a defined,
+    oracle-reproducible semantics — not a lossy approximation of the uncapped
+    one) and per-gram fan-out is ≤ cap².  Docs whose every n-gram is capped
+    away leave the comparison (boilerplate-only bodies by definition).
     """
     grams = doc_ngrams(docs, n)
+    if df_cap is not None:
+        rare = (
+            grams.groupBy("ng")
+            .agg(F.count(F.lit(1)).alias("gram_df"))
+            .filter(F.col("gram_df") <= df_cap)
+            .select("ng")
+        )
+        grams = grams.join(rare, "ng", "left_semi")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ng"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "ng")
     b = grams.select(F.col("doc_id").alias("doc_b"), "ng")

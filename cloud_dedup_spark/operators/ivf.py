@@ -1,0 +1,140 @@
+"""IVF (inverted-file) approximate nearest neighbour: k-means coarse
+quantizer + nprobe cell search.
+
+The 100 TB ANN path past single-table hyperplane LSH (ROADMAP item 5): the
+corpus is partitioned by nearest coarse centroid, a query scores exact cosine
+against only the ``nprobe`` nearest cells instead of the whole table.  The
+reference engine has no ANN analog (it is a filesystem dedup tool); this
+operator exists for the training-data-pipeline surface the brief demands,
+next to ``similarity.brute_force_topk`` (the exactness oracle) and
+``similarity.lsh_bucketed_topk`` (the high-threshold hash path).
+
+Scale design:
+  * The quantizer is Spark ML KMeans (distributed fit, seeded → deterministic
+    for a fixed input); at 10^9+ rows fit on a sample — the coarse cells only
+    need to capture density, not every point.
+  * The centroid matrix is tiny ((n_cells, dim) — e.g. 4096×1024 floats =
+    16 MB) and ships inside the Arrow UDF closure: cell assignment is a
+    narrow, shuffle-free map pass over the corpus, O(n_cells·dim) per row.
+  * Search is one equi-join corpus(cell) ⋈ queries(probed cell) — a hash
+    join on an int key; candidate volume is nprobe/n_cells of brute force.
+  * Cosine on unit-normalized vectors == monotone in euclidean distance, so
+    k-means cells (euclidean) are valid cosine neighbourhoods after
+    normalization; all vectors are normalized before both fit and assign.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloud_dedup_spark.operators.similarity import cosine_udf
+
+
+def fit_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Fit the coarse quantizer; returns the (n_cells, dim) centroid matrix.
+
+    Distributed Spark ML KMeans on unit-normalized vectors.  At 10^9+ rows
+    pass ``sample_fraction`` — coarse cells are a density sketch, a 1% sample
+    fits them as well as the full table at 100× the cost.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = emb if sample_fraction is None else emb.sample(sample_fraction, seed=seed)
+    vecs = src.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
+    centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    norms = np.linalg.norm(centers, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return centers / norms
+
+
+def cell_assign_udf(centroids: np.ndarray, n_assign: int = 1):
+    """Arrow-batched UDF: embedding → array of the n_assign nearest cell ids.
+
+    Cosine against the normalized centroid matrix (rows are unit-normalized
+    inside the batch), argpartition for top-n — one GEMM per Arrow batch, no
+    per-row Python.
+    """
+    cmat = centroids.astype(np.float64).T  # (dim, n_cells)
+    n_cells = cmat.shape[1]
+    n_take = min(n_assign, n_cells)
+
+    @F.pandas_udf("array<int>")
+    def assign(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cmat  # (rows, n_cells)
+        if n_take == n_cells:
+            top = np.argsort(-sims, axis=1)
+        else:
+            part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+            order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(top[:, :n_take].astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: exact cosine, but only against the query's nprobe cells.
+
+    Same output contract as ``brute_force_topk`` (query_id, neighbor_id,
+    rank, score; ties broken by neighbour id).  Recall@k < 1 by construction
+    (cell pruning); tests/test_similarity.py pins it against the brute-force
+    oracle.  Pass a precomputed ``centroids`` matrix to skip the fit (e.g.
+    reusing a checkpointed quantizer across incremental runs).
+    """
+    if centroids is None:
+        centroids = fit_centroids(emb, n_cells, seed=seed, vec_col=vec_col)
+    corpus_cell = cell_assign_udf(centroids, n_assign=1)
+    query_cells = cell_assign_udf(centroids, n_assign=nprobe)
+
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(corpus_cell(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(query_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_udf(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -17,6 +17,8 @@ nearest centroid, search nprobe partitions.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -113,23 +115,153 @@ def cosine_near_pairs(
     )
 
 
-def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
+def hyperplane_signature_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
     """Vectorized random-hyperplane SimHash over embeddings → int bucket.
 
     Arrow-batched (input_hint: no per-row Python); the projection matrix is
     seed-deterministic so buckets are stable across runs and cluster sizes.
+    When ``dim`` is None the plane matrix is built lazily from the first
+    Arrow batch's width inside the UDF (every batch has the same dim — it is
+    a column type property), so no driver-side ``.first()`` action is needed
+    to use this inside an operator.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    state: dict = {"planes": None if dim is None else
+                   np.random.RandomState(seed).standard_normal((dim, n_planes))}
 
     @F.pandas_udf("long")
     def signature(batch: pd.Series) -> pd.Series:
         mat = np.vstack(batch.to_numpy())  # (rows, dim)
-        bits = (mat @ planes) >= 0  # (rows, n_planes)
+        if state["planes"] is None:
+            state["planes"] = np.random.RandomState(seed).standard_normal(
+                (mat.shape[1], n_planes)
+            )
+        bits = (mat @ state["planes"]) >= 0  # (rows, n_planes)
         weights = (1 << np.arange(n_planes, dtype=np.int64))
         return pd.Series(bits.astype(np.int64) @ weights)
 
     return signature
+
+
+def lsh_band_params(
+    threshold: float, target_recall: float = 0.98, max_bands: int = 48
+) -> tuple[int, int]:
+    """Solve (rows_per_band r, n_bands b) for banded hyperplane LSH.
+
+    Collision model (Charikar SimHash): a pair at cosine s agrees on one
+    hyperplane bit with p = 1 − arccos(s)/π; a band of r planes collides with
+    p^r; recall over b bands = 1 − (1 − p^r)^b.  We pick the LARGEST r whose
+    required b stays ≤ max_bands — larger r means exponentially more
+    selective bands (2^r buckets each), i.e. better pruning per unit recall.
+
+    Honest regime note: pruning power is the gap between p^r for near pairs
+    and 0.5^r for random pairs.  At s ≥ 0.8 (p ≥ 0.80) this gap is large and
+    LSH prunes hard; at s ≈ 0.4 (p ≈ 0.63) no (r, b) prunes much — blocked
+    candidate volume stays a large fraction of N², and the win over the
+    crossJoin is bounded.  Low-threshold all-pairs similarity is inherently
+    near-quadratic; use a higher threshold or top-k IVF (operators/ivf.py)
+    at scale.
+    """
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best = (2, max_bands)
+    for r in (2, 3, 4, 6, 8, 10, 12, 16):
+        pr = p**r
+        if pr >= 1.0:
+            continue
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b <= max_bands:
+            best = (r, b)
+    return best
+
+
+def hyperplane_band_keys_udf(
+    n_bands: int, rows_per_band: int, seed: int = 42, dim: int | None = None
+):
+    """Arrow-batched UDF: embedding → array of ``n_bands`` band keys.
+
+    Band key = (band_idx << rows_per_band) | bucket_bits, so keys are unique
+    across bands and a single explode + equi-join does the multi-band
+    blocking.  Plane matrix is seed-deterministic and lazily sized from the
+    first batch (same contract as hyperplane_signature_udf).
+    """
+    total = n_bands * rows_per_band
+    state: dict = {"planes": None if dim is None else
+                   np.random.RandomState(seed).standard_normal((dim, total))}
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+    band_offsets = (np.arange(n_bands, dtype=np.int64) << rows_per_band)
+
+    @F.pandas_udf("array<long>")
+    def band_keys(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy())
+        if state["planes"] is None:
+            state["planes"] = np.random.RandomState(seed).standard_normal(
+                (mat.shape[1], total)
+            )
+        bits = ((mat @ state["planes"]) >= 0).astype(np.int64)
+        # (rows, n_bands, rows_per_band) @ (rows_per_band,) → (rows, n_bands)
+        keys = bits.reshape(len(mat), n_bands, rows_per_band) @ weights
+        keys += band_offsets  # disjoint key spaces per band
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def cosine_near_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    target_recall: float = 0.98,
+    n_bands: int | None = None,
+    rows_per_band: int | None = None,
+    bucket_cap: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked near pairs: multi-band hyperplane buckets → exact cosine.
+
+    The scale twin of ``cosine_near_pairs`` (which stays as the small-N
+    oracle): candidates come from an equi-join on band keys (shuffle join,
+    NO cartesian in the plan), then every candidate is exactly re-scored and
+    thresholded, so precision is 1.0 by construction and recall follows the
+    banded-LSH model in ``lsh_band_params`` (pinned ≥ 0.95 vs the exact twin
+    in tests/test_similarity.py).
+
+    ``bucket_cap``: optional skew guard — band buckets holding more than cap
+    vectors are dropped from candidate generation (boilerplate-direction
+    buckets at scale), trading bounded recall loss for a hard O(cap²) bound
+    per bucket, the same contract as candidates.py's hot-bucket handling.
+    """
+    if rows_per_band is None and n_bands is None:
+        rows_per_band, n_bands = lsh_band_params(threshold, target_recall)
+    elif rows_per_band is None or n_bands is None:
+        raise ValueError("pass both rows_per_band and n_bands, or neither")
+    keys = hyperplane_band_keys_udf(n_bands, rows_per_band, seed)
+    keyed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.explode(keys(F.col(vec_col))).alias("band_key"),
+    )
+    if bucket_cap is not None:
+        sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
+        keyed = keyed.join(
+            sizes.filter(F.col("n") <= bucket_cap).select("band_key"),
+            "band_key",
+            "left_semi",
+        )
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "band_key")
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("score", F.round(cosine_udf(F.col("vec_a"), F.col("vec_b")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
 
 
 def lsh_bucketed_topk(
@@ -147,8 +279,8 @@ def lsh_bucketed_topk(
     crossJoin into an equi-join on ``bucket``.  Multi-probe (flip one bit)
     would raise recall — left for the IVF upgrade.
     """
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+    # dim=None → the UDF sizes its plane matrix from the first Arrow batch;
+    # no driver-side .first() action inside the operator (round-1 review).
     sig = hyperplane_signature_udf(dim, n_planes)
     emb_b = emb.select(
         F.col(id_col).alias("neighbor_id"),

@@ -1,4 +1,6 @@
-"""Embedding similarity: brute-force cosine correctness + LSH bucket sanity."""
+"""Embedding similarity: brute-force cosine correctness + LSH bucket sanity +
+recall pins for the scale paths (banded-LSH near pairs, IVF top-k) against
+their exact twins."""
 
 from __future__ import annotations
 
@@ -6,11 +8,22 @@ import math
 
 import pytest
 
+from cloud_dedup_spark.operators.ivf import ivf_topk
 from cloud_dedup_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_pairs,
+    cosine_near_pairs_lsh,
+    lsh_band_params,
     lsh_bucketed_topk,
 )
+
+SF_EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
 
 
 @pytest.fixture(scope="module")
@@ -59,3 +72,96 @@ def test_lsh_topk_subset_of_bruteforce(spark, emb):
     found = {r["neighbor_id"]
              for r in lsh_bucketed_topk(emb2, q, k=5, n_planes=4).collect()}
     assert 99 in found
+
+
+def test_band_params_solver():
+    """More selective bands (higher r) at higher thresholds; recall model
+    monotone in b; every returned b within the cap."""
+    for s in (0.4, 0.8, 0.9, 0.95):
+        r, b = lsh_band_params(s, target_recall=0.98)
+        assert 2 <= r and b <= 48
+    r_low, _ = lsh_band_params(0.4)
+    r_high, _ = lsh_band_params(0.9)
+    assert r_high >= r_low  # high threshold affords more selective bands
+
+
+@pytest.fixture(scope="module")
+def emb_real(spark):
+    return spark.read.parquet(SF_EMB).cache()
+
+
+def test_lsh_near_pairs_recall_vs_exact(spark, emb_real):
+    """The banded-LSH scale twin must recover ≥95% of the exact crossJoin's
+    pairs at the same threshold, with identical scores on every pair it
+    returns (precision 1.0: candidates are exactly re-scored)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_near_pairs(emb_real, 0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_near_pairs_lsh(emb_real, 0.4, target_recall=0.98).collect()
+    }
+    assert len(exact) > 0
+    assert set(approx) <= set(exact)  # precision 1.0
+    for pair, score in approx.items():
+        assert score == exact[pair]
+    recall = len(approx) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_lsh_near_pairs_plan_has_no_cartesian(spark, emb_real):
+    """Blocking must be an equi-join on band keys — the whole point is that
+    no cartesian/nested-loop join appears in the plan (round-1 review: the
+    exact twin's crossJoin is the textbook 100×-scale killer)."""
+    plan = _plan(cosine_near_pairs_lsh(emb_real, 0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_near_pairs_bucket_cap_drops_hot_buckets(spark, emb_real):
+    """With an aggressive cap the operator still runs and returns a subset."""
+    full = {(r["id_a"], r["id_b"])
+            for r in cosine_near_pairs_lsh(emb_real, 0.4).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in cosine_near_pairs_lsh(emb_real, 0.4, bucket_cap=50).collect()}
+    assert capped <= full
+
+
+def test_ivf_topk_recall_vs_brute(spark, emb_real):
+    """IVF(nprobe) recall@3 vs the brute-force oracle, pinned ≥ 0.9; plan is
+    an equi-join on cell id — no cartesian."""
+    # This synthetic corpus is nearly isotropic (top neighbours sit at
+    # cos ≈ 0.4-0.6, close to random directions), the hard case for any
+    # space-partitioning ANN — recall 0.9 needs probing ~10/16 cells here;
+    # clustered real embedding corpora prune far harder at equal recall.
+    queries = emb_real.filter("vec_id % 50 = 0")
+    ivf = ivf_topk(emb_real, queries, k=3, n_cells=16, nprobe=10)
+    plan = _plan(ivf)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb_real, queries, k=3).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall@3 {recall:.3f}"
+
+
+def test_ivf_topk_contract(spark, emb_real):
+    """Same output contract as brute_force_topk: k rows per query, ranks
+    1..k, scores non-increasing within a query."""
+    queries = emb_real.filter("vec_id % 100 = 0")
+    rows = ivf_topk(emb_real, queries, k=3, n_cells=8, nprobe=8).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        scores = [x[1] for x in rs]
+        assert scores == sorted(scores, reverse=True)
+    # nprobe == n_cells probes everything → identical to brute force
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in brute_force_topk(emb_real, queries, k=3).collect()}
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+    assert got == exact
