@@ -16,13 +16,17 @@ Scale design (this is shuffle boundary #1, SURVEY.md §3):
       pass 1 — bucket sizes (cheap count per key);
       pass 2 — buckets ≤ cap take the all-pairs path; buckets > cap are
       **salted** into ⌈size/cap⌉ sub-groups; inside each salt group we emit a
-      sorted-neighbour *chain* (size-1 edges, linear not quadratic) and the
-      per-salt minimum ids are chained across salts, preserving bucket-level
-      connectivity for the clustering stage at O(size) total edges.
+      *star over the group leader plus a neighbour chain* (2(size−1) edges,
+      linear not quadratic) and the per-salt leaders get the same star+chain
+      across salts, preserving bucket-level connectivity for the clustering
+      stage at O(size) total edges.  Salt assignment and within-group order
+      are keyed per (band, file), so each band retries a hot bucket with an
+      independent grouping — the probabilistic repair for edges an
+      adversarial ordering would lose to verification rejects (ROADMAP 12).
     True duplicate families that land in a hot bucket remain connected
-    (chain) and each chain edge still passes exact verification; unrelated
-    files sharing only boilerplate produce chain edges that verification
-    rejects — which is exactly the desired outcome.
+    (star+chain) and each edge still passes exact verification; unrelated
+    files sharing only boilerplate produce edges that verification rejects —
+    which is exactly the desired outcome.
   * Exact-duplicate pre-collapse (operators/exact.py) runs before this stage,
     so identical bodies enter LSH once — the main skew source is gone before
     salting even matters.
@@ -44,6 +48,22 @@ _ALL_PAIRS = (
 _CHAIN = (
     "transform(slice(ids, 1, size(ids) - 1), (x, i) -> "
     "struct(x AS src, ids[i + 1] AS dst))"
+)
+# star over the min-id representative + consecutive chain: 2(size-1) edges.
+# Either shape alone is order-brittle once verification rejects cross-family
+# edges inside a hot bucket: a chain a1–x–a2 splits the {a1,a2} family when
+# the interloper x sorts between them, and a star splits every family when x
+# happens to be the min id.  The union survives both single-interloper
+# adversarial orderings: the star bridges chain gaps (rep reaches past x) and
+# the chain bridges a bad rep (members still link consecutively).  Still
+# O(size) edges, every edge still exact-verified downstream.
+# (slice() is 1-based, the [] subscript is 0-based — same convention as
+# _CHAIN above; the chain part skips its first edge, which the star covers)
+_STAR_AND_CHAIN = (
+    "concat("
+    "transform(slice(ids, 2, size(ids) - 1), y -> struct(ids[0] AS src, y AS dst)), "
+    "transform(slice(ids, 2, size(ids) - 2), (x, i) -> "
+    "struct(x AS src, ids[i + 2] AS dst)))"
 )
 
 
@@ -88,21 +108,35 @@ def lsh_candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     normal_pairs = _pairs_from_buckets(normal_buckets, _ALL_PAIRS)
 
-    # --- hot buckets: salt → chain within salt → chain salt representatives ---
-    hot_bands = tagged.filter(F.col("bucket_n").isNotNull()).withColumn(
-        "salt",
-        F.pmod(F.xxhash64("file_id"), F.ceil(F.col("bucket_n") / cap).cast("long")),
+    # --- hot buckets: salt → star+chain within salt → star+chain the reps ---
+    # Salt AND within-group order are keyed on xxhash64(band_key, file_id),
+    # not file_id alone: every one of the ~32 bands therefore partitions and
+    # orders a hot bucket INDEPENDENTLY.  A true pair that a rejected
+    # interloper disconnects in one band's grouping gets a fresh grouping in
+    # each other band, so the miss probability decays exponentially in the
+    # band count (with a per-corpus-wide salt the groupings were identical
+    # across bands and the redundancy was zero).
+    hot_bands = (
+        tagged.filter(F.col("bucket_n").isNotNull())
+        .withColumn("h", F.xxhash64("band_key", "file_id"))
+        .withColumn(
+            "salt",
+            F.pmod(F.col("h"), F.ceil(F.col("bucket_n") / cap).cast("long")),
+        )
     )
     salt_buckets = hot_bands.groupBy("band_key", "salt").agg(
-        F.sort_array(F.collect_list("file_id")).alias("ids")
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("h", "file_id"))),
+            lambda s: s["file_id"],
+        ).alias("ids")
     )
-    salted_pairs = _pairs_from_buckets(salt_buckets, _CHAIN)
+    salted_pairs = _pairs_from_buckets(salt_buckets, _STAR_AND_CHAIN)
     rep_buckets = (
         salt_buckets.select("band_key", F.element_at("ids", 1).alias("rep"))
         .groupBy("band_key")
         .agg(F.sort_array(F.collect_list("rep")).alias("ids"))
     )
-    rep_pairs = _pairs_from_buckets(rep_buckets, _CHAIN)
+    rep_pairs = _pairs_from_buckets(rep_buckets, _STAR_AND_CHAIN)
 
     return (
         normal_pairs.unionByName(salted_pairs)

@@ -8,7 +8,13 @@ import pytest
 
 from cloud_dedup_spark.config import DedupConfig
 from cloud_dedup_spark.functions.normalize import with_identity
-from cloud_dedup_spark.operators.candidates import explode_bands, lsh_candidate_pairs
+from cloud_dedup_spark.operators.candidates import (
+    _CHAIN,
+    _STAR_AND_CHAIN,
+    _pairs_from_buckets,
+    explode_bands,
+    lsh_candidate_pairs,
+)
 from cloud_dedup_spark.operators.cluster import connected_components
 from cloud_dedup_spark.operators.signatures import compute_signatures
 
@@ -65,8 +71,77 @@ def test_hot_bucket_edges_stay_linear(spark):
     assert max_bucket > cfg.band_bucket_cap  # the plant really is hot
     pairs = lsh_candidate_pairs(sigs, cfg).cache()
     n_pairs = pairs.count()
-    # all-pairs would be ~ nb * n²/2 ≈ 2.5M; salted chaining stays linear-ish
-    assert n_pairs < 20 * n
+    # all-pairs would be ~ n²/2 ≈ 80k; star+chain with per-band independent
+    # salting stays ≤ bands × 2(size−1) ≈ linear in n × n_bands
+    assert n_pairs < 2 * 32 * 2 * n
     # connectivity preserved: every file reachable from the first
     labels = connected_components(pairs.select("src", "dst"))
     assert labels.select("cluster_id").distinct().count() == 1
+
+
+def _edges(spark, ids, expr):
+    buckets = spark.createDataFrame(
+        [("k", ids)], "band_key string, ids array<long>"
+    )
+    return {
+        frozenset((r["src"], r["dst"]))
+        for r in _pairs_from_buckets(buckets, expr).collect()
+    }
+
+
+def test_star_survives_interloper_between_family_members(spark):
+    """Adversarial ordering #1 (ROADMAP 12 / round-1 review): family {10, 30}
+    separated by interloper 20 in group order.  A pure chain emits only
+    10–20, 20–30 — both rejected by verification → family split.  The
+    star+chain union adds rep-star edge 10–30, which verifies."""
+    chain = _edges(spark, [10, 20, 30], _CHAIN)
+    star_chain = _edges(spark, [10, 20, 30], _STAR_AND_CHAIN)
+    family_edge = frozenset((10, 30))
+    assert family_edge not in chain  # the chain-only failure mode, pinned
+    assert family_edge in star_chain
+
+
+def test_chain_survives_interloper_as_rep(spark):
+    """Adversarial ordering #2: the group leader 5 is the interloper, family
+    {10, 11} sits consecutively.  A pure star emits only 5–10, 5–11 — both
+    rejected → family split.  The union keeps the chain edge 10–11."""
+    star_chain = _edges(spark, [5, 10, 11], _STAR_AND_CHAIN)
+    assert frozenset((10, 11)) in star_chain
+    # and the star edges are present too (leader reaches every member)
+    assert frozenset((5, 10)) in star_chain and frozenset((5, 11)) in star_chain
+
+
+def test_star_chain_edge_count_is_linear(spark):
+    ids = list(range(1, 42))
+    star_chain = _edges(spark, ids, _STAR_AND_CHAIN)
+    assert len(star_chain) == 2 * (len(ids) - 1) - 1  # star + chain minus overlap
+
+
+def test_hot_bucket_groupings_differ_across_bands(spark, corpus):
+    """The per-(band, file) salt key must give each band an independent
+    grouping of the same hot bucket — identical groupings across bands would
+    make the 32-band redundancy worthless for hot-bucket recall."""
+    n = 120
+    body = "def hot(): return " + " + ".join(f"tok_{i}" for i in range(200))
+    rows = [("r", f"p/{i}.py", f"c{i}", "py", body + f"\n# tail_{i} x_{i} = {i}")
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    cfg = DedupConfig(band_bucket_cap=16)
+    sigs = compute_signatures(with_identity(df), cfg)
+    bands = explode_bands(sigs)
+    salted = bands.withColumn("h", F.xxhash64("band_key", "file_id"))
+    # two distinct hot band_keys must partition files differently
+    two = [r["band_key"] for r in
+           bands.groupBy("band_key").count().filter("count >= 32")
+           .limit(2).collect()]
+    if len(two) == 2:
+        g = {
+            bk: tuple(
+                r["h"] % 4
+                for r in salted.filter(F.col("band_key") == bk)
+                .orderBy("file_id").collect()
+            )
+            for bk in two
+        }
+        assert g[two[0]] != g[two[1]]
