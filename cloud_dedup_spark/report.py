@@ -24,7 +24,50 @@ from cloud_dedup_spark.operators.rollup import (
     safe_dedup_roots,
     subtree_rollup,
     unique_file_counts,
+    with_folder_name,
 )
+
+
+# Driver-side collection caps: the reference holds every group in RAM
+# (src/cloud_duplicate_analyzer.py:273-713 — single process); the graft pages
+# only the TOP slices of the stage tables into the report so the collect
+# stays bounded at any corpus size.  Raise via build_report kwargs if needed.
+MAX_GROUP_DETAILS = 200
+MAX_TREE_FOLDERS = 500
+MAX_TREE_FILES = 5000
+
+# strongest-edge ranking for the per-file classification symbol
+# (exact ★ > substring ↪ > near ✓; reference _file_sym decision ladder,
+# src/cloud_duplicate_analyzer.py:719-734)
+_KIND_RANK = {"exact": 3, "substring": 2, "near": 1}
+
+
+def file_classifications(identity: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-file match classification from incident edges.
+
+    Output: file_id, repo, path, kind ('exact'|'substring'|'near'|NULL for
+    files with no duplicate edge).  The strongest incident edge wins — the
+    graft's analog of the reference's (content_match × version_status)
+    classification cells (:719-734)."""
+    rank = F.when(F.col("edge_kind") == "exact", 3).when(
+        F.col("edge_kind") == "substring", 2
+    ).otherwise(1)
+    incident = (
+        edges.select(F.col("src").alias("file_id"), rank.alias("rank"))
+        .unionByName(edges.select(F.col("dst").alias("file_id"), rank.alias("rank")))
+        .groupBy("file_id")
+        .agg(F.max("rank").alias("rank"))
+        .withColumn(
+            "kind",
+            F.when(F.col("rank") == 3, "exact")
+            .when(F.col("rank") == 2, "substring")
+            .otherwise("near"),
+        )
+        .select("file_id", "kind")
+    )
+    return identity.select("file_id", "repo", "path").join(
+        incident, "file_id", "left"
+    )
 
 
 def build_report(result: dict) -> dict:
@@ -63,6 +106,75 @@ def build_report(result: dict) -> dict:
     roots = [r["folder"] for r in
              safe_dedup_roots(subtree_rollup(fc)).orderBy("folder").collect()]
 
+    # ---- drill-down detail (reference sections 4/5 per-group tables and the
+    # nested folder tree, :1041-1386) — paged from the stage tables with
+    # driver-safe caps, never the raw corpus
+    cls = file_classifications(identity, edges)
+    group_details_rows = (
+        assignments.join(cls.select("file_id", "kind"), "file_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.sort_array(
+                F.collect_list(F.struct("repo", "path", "kind"))
+            ).alias("members"),
+        )
+        .filter(F.col("n_files") >= 2)
+        .orderBy(F.desc("n_files"), "cluster_id")
+        .limit(MAX_GROUP_DETAILS)
+        .collect()
+    )
+    group_details = [
+        {
+            "cluster_id": int(r["cluster_id"]),
+            "n_files": int(r["n_files"]),
+            "n_repos": int(r["n_repos"]),
+            "members": [
+                {"repo": m["repo"], "path": m["path"], "kind": m["kind"]}
+                for m in r["members"]
+            ],
+        }
+        for r in group_details_rows
+    ]
+
+    # per-(folder, name) presence + strongest classification for the tree
+    # (same folder/name derivation as the rollup stage so tree nodes line up
+    # with folder_comparisons rows)
+    tree_files_rows = (
+        with_folder_name(cls)
+        .groupBy("folder", "name")
+        .agg(
+            F.countDistinct("repo").alias("n_repos"),
+            F.max(
+                F.when(F.col("kind") == "exact", 3)
+                .when(F.col("kind") == "substring", 2)
+                .when(F.col("kind") == "near", 1)
+            ).alias("rank"),
+        )
+        .orderBy("folder", "name")
+        .limit(MAX_TREE_FILES)
+        .collect()
+    )
+    folder_files: dict[str, list] = {}
+    rank_to_kind = {3: "exact", 2: "substring", 1: "near"}
+    for r in tree_files_rows:
+        folder_files.setdefault(r["folder"], []).append(
+            {
+                "name": r["name"],
+                "n_repos": int(r["n_repos"]),
+                "kind": rank_to_kind.get(r["rank"]),
+            }
+        )
+    fc_rows = [
+        {
+            "folder": r["folder"],
+            "relationship": r["relationship"],
+            "n_repos": int(r["n_repos"]),
+        }
+        for r in fc.orderBy("folder").limit(MAX_TREE_FOLDERS).collect()
+    ]
+
     return {
         "total_files": int(identity.count()),
         "per_repo_files": per_repo,
@@ -73,6 +185,9 @@ def build_report(result: dict) -> dict:
         "unique_files_per_repo": uniques,
         "folder_relationship_histogram": rel_hist,
         "safe_dedup_roots": roots,
+        "duplicate_group_details": group_details,
+        "folder_comparisons": fc_rows,
+        "folder_files": folder_files,
         "stages": metrics.to_dict(),
     }
 

@@ -58,9 +58,91 @@ def test_render_html_sections():
     }
     page = render_html(report)
     for expected in ("<h2>1. Overview", "<h2>2. Pairwise", "<h2>3. Edges",
-                     "<h2>4. Folder", "<h2>5. Safe dedup",
+                     "<h2>4. Duplicate groups", "<h2>5. Folder",
+                     "<h2>6. Safe dedup",
                      "vendor/libx", "60.0%", "<b>10</b>"):
         assert expected in page
     # escaping: no raw folder path should break out of tags
     report["safe_dedup_roots"] = ["<script>x</script>"]
     assert "<script>" not in render_html(report).split("Safe dedup")[1]
+
+
+def _detail_report():
+    return {
+        "total_files": 6,
+        "n_clusters": 1,
+        "per_repo_files": {"a": 3, "b": 3},
+        "pairwise_duplicate_clusters": {"a+b": 1},
+        "folder_relationship_histogram": {"identical": 1},
+        "cluster_size_histogram": {3: 1},
+        "edge_kinds": {"exact": 1, "near": 1},
+        "unique_files_per_repo": {"a": 1},
+        "safe_dedup_roots": [],
+        "duplicate_group_details": [
+            {
+                "cluster_id": 7,
+                "n_files": 3,
+                "n_repos": 2,
+                "members": [
+                    {"repo": "a", "path": "src/x.py", "kind": "exact"},
+                    {"repo": "b", "path": "src/x.py", "kind": "exact"},
+                    {"repo": "b", "path": "lib/x2.py", "kind": "near"},
+                ],
+            }
+        ],
+        "folder_comparisons": [
+            {"folder": "src", "relationship": "identical", "n_repos": 2},
+            {"folder": "src/deep", "relationship": "subset", "n_repos": 2},
+            {"folder": "lib", "relationship": "unique", "n_repos": 1},
+        ],
+        "folder_files": {
+            "src": [
+                {"name": "x.py", "n_repos": 2, "kind": "exact"},
+                {"name": "y.py", "n_repos": 2, "kind": None},
+                {"name": "z.py", "n_repos": 1, "kind": None},
+            ],
+            "src/deep": [{"name": "d.py", "n_repos": 2, "kind": "substring"}],
+        },
+        "stages": {"stages": []},
+    }
+
+
+def test_group_detail_rows_and_symbols():
+    """Reference sections-4/5 drill-down parity (:900-1040): every member of
+    a detailed group renders with its classification symbol."""
+    page = render_html(_detail_report())
+    sec = page.split("<h2>4. Duplicate groups")[1].split("<h2>5.")[0]
+    assert "cluster 7" in sec
+    assert "a:src/x.py" in sec and "b:lib/x2.py" in sec
+    assert "★" in sec and "✓" in sec  # exact + near symbols
+    assert "legend" in sec  # symbol legend rendered
+
+
+def test_folder_tree_nesting_and_file_symbols():
+    """Reference nested-tree parity (:1041-1124): child folders render inside
+    the parent's <details>, files carry symbols incl. ⚠ (shared name, no dup
+    edge) and ◆ (unique)."""
+    page = render_html(_detail_report())
+    sec = page.split("<h3>Folder tree</h3>")[1]
+    # 'src/deep' nests inside 'src': deep's summary appears before src's
+    # closing </details> and after src's summary
+    src_pos = sec.find("<b>src</b>")
+    deep_pos = sec.find("<b>deep</b>")
+    assert 0 <= src_pos < deep_pos
+    src_block = sec[src_pos:]
+    assert src_block.index("<b>deep</b>") < src_block.index("</details></div>")
+    # symbols: exact ★, substring ↪, shared-name conflict ⚠, unique ◆
+    for sym in ("★", "↪", "⚠", "◆"):
+        assert sym in sec, f"missing {sym}"
+    # relationship label + file-count badge on the summary line
+    assert "identical" in sec and "class='badge'" in sec
+
+
+def test_file_sym_ladder():
+    from cloud_dedup_spark.html_report import file_sym
+
+    assert file_sym("exact")[0] == "★"
+    assert file_sym("near")[0] == "✓"
+    assert file_sym("substring")[0] == "↪"
+    assert file_sym(None, n_repos=2)[0] == "⚠"
+    assert file_sym(None, n_repos=1)[0] == "◆"
