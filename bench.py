@@ -98,6 +98,14 @@ def main() -> None:
             res = run_pipeline(spark, files, track_rows=False)
             _force(res["assignments"])
             pipe_sec = min(pipe_sec, round(time.time() - t0, 3))
+            # drop this repeat's localCheckpointed stage RDDs before the next
+            # one: accumulated checkpoint storage from prior repeats measurably
+            # poisons later runs (GC thrash / spill), understating steady state
+            import gc
+
+            del res
+            gc.collect()
+            spark._jvm.System.gc()
         timings["dedup_pipeline"] = pipe_sec
 
         total = round(sum(timings.values()), 3)

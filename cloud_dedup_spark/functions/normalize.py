@@ -40,13 +40,25 @@ def file_id_col() -> Column:
     """Compact 64-bit surrogate id from the natural key (repo, path, commit).
 
     xxhash64 keeps shuffles narrow (one long vs three strings).  At true
-    10^12-row scale a 64-bit id has a measurable birthday-collision count; the
-    upgrade path is a second independent hash column
-    (``xxhash64(path, repo, commit, lit(1))``) forming a 128-bit composite.
-    The natural key is always carried alongside, so collisions are detectable
-    and results are reported by (repo, path), never by the surrogate.
+    10^12-row scale a 64-bit id has a measurable birthday-collision count
+    (E ≈ n²/2^65 ≈ 27k colliding pairs at n=10^12) — ``file_id2_col`` below
+    provides the second independent 64 bits forming a 128-bit composite for
+    collision DETECTION, and the pipeline quarantines detected collisions
+    (plans/pipeline.py::quarantine_id_collisions) so a collision can never
+    silently merge two unrelated files into one graph node.  The natural key
+    is always carried alongside, so results are reported by (repo, path),
+    never by the surrogate.
     """
     return F.xxhash64("repo", "path", "commit")
+
+
+def file_id2_col() -> Column:
+    """Second, independent 64-bit hash of the natural key (salted, different
+    argument order) — together with ``file_id_col`` a 128-bit composite
+    identity.  P[both collide for a given pair] ≈ 2^-128; at 10^12 files the
+    expected number of undetected collisions is ~10^-14.
+    """
+    return F.xxhash64("path", "commit", "repo", F.lit(0x5F3C))
 
 
 def with_identity(files: DataFrame) -> DataFrame:
@@ -61,6 +73,7 @@ def with_identity(files: DataFrame) -> DataFrame:
         out = out.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     return (
         out.withColumn("file_id", file_id_col())
+        .withColumn("file_id2", file_id2_col())
         .withColumn("n_bytes", F.octet_length("content"))
         .withColumn("content_norm", normalize_content("content"))
     )

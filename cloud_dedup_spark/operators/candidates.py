@@ -85,13 +85,22 @@ def _pairs_from_buckets(buckets: DataFrame, expr: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, cfg: DedupConfig, bands: DataFrame | None = None
+) -> DataFrame:
     """Candidate edges (src < dst), deduplicated across bands.
 
     Output: ``src, dst`` (file_id pairs).  Downstream verification joins the
     signature table to score them (operators/verify.py).
+
+    ``bands``: optional pre-materialized (file_id, band_key) frame.  This
+    stage reads the band list twice (bucket-size pass + bucket-build pass);
+    when the caller checkpoints the narrow exploded frame (pipeline.py), both
+    passes scan 16 B/row instead of re-deserializing the wide signature rows
+    (shingle arrays dominate those) and re-running the explode.
     """
-    bands = explode_bands(sigs)
+    if bands is None:
+        bands = explode_bands(sigs)
     cap = cfg.band_bucket_cap
 
     sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_n"))

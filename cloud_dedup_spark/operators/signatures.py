@@ -232,17 +232,31 @@ def make_signature_udf(cfg: DedupConfig):
     return signature_udf
 
 
+# Checkpoint schema of the pipeline's signatures stage table (pipeline.py and
+# streaming/incremental.py must agree — incremental appends delta rows to the
+# batch table).  minhash is deliberately NOT persisted: band_hashes are
+# derived in-UDF and are the only LSH-side consumer; dropping the 64-long
+# array cuts ~0.5 KB/row from every downstream deserialization.
+SIG_TABLE_COLUMNS = (
+    "file_id", "n_tokens", "n_shingles", "shingles", "band_hashes", "simhash",
+)
+
+
 def compute_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Signatures table: one row per input file (SURVEY.md §3 checkpoint #1).
 
-    Input: identity frame (file_id, repo, path, lang, content_norm, ...).
-    Output: file_id, repo, path, lang, n_bytes, content_sha256, n_tokens,
-    n_shingles, shingles, minhash, band_hashes, simhash.
+    Input: any frame with ``content_norm`` (plus ``file_id``).  All input
+    columns except the content ones pass through, so the pipeline can feed a
+    lean (file_id, content_norm) projection while tests can feed the full
+    identity frame and keep repo/path for assertions.
+    Output: passthrough columns + n_tokens, n_shingles, shingles, minhash,
+    band_hashes, simhash.
     """
     udf = make_signature_udf(cfg)
     sig = files.withColumn("sig", udf(F.col("content_norm")))
+    passthrough = [c for c in files.columns if c not in ("content", "content_norm")]
     return sig.select(
-        "file_id", "repo", "path", "lang", "n_bytes", "content_sha256",
+        *passthrough,
         F.col("sig.n_tokens").alias("n_tokens"),
         F.col("sig.n_shingles").alias("n_shingles"),
         F.col("sig.shingles").alias("shingles"),

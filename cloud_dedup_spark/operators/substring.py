@@ -94,13 +94,16 @@ def substring_edges(
     # every frame below broadcastable, so the 10^8-row exploded index is only
     # ever SCANNED (twice), never shuffled.
     K = 8
+    # materialized once: consumed by both the anchor-value distinct and the
+    # rarest-anchor argmin below — without the cut, each consumer re-runs the
+    # array_sort+slice+explode over the wide signature rows
     cand_anchors = needle_base.filter(
         F.col("n_tokens") >= cfg.substring_min_tokens
     ).select(
         F.col("file_id").alias("src"),
         F.col("n_tokens").alias("needle_tokens"),
         F.explode(F.slice(F.array_sort("shingles"), 1, K)).alias("sh"),
-    )
+    ).localCheckpoint()
 
     # DF only for candidate-anchor values: broadcast-semi-filter the index,
     # then a map-side-combinable count — no full-index shuffle

@@ -30,15 +30,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloud_dedup_spark.config import DedupConfig
-from cloud_dedup_spark.functions.normalize import with_identity
+from cloud_dedup_spark.functions.normalize import normalize_content, with_identity
 from cloud_dedup_spark.metrics import RunMetrics
-from cloud_dedup_spark.operators.candidates import lsh_candidate_pairs
+from cloud_dedup_spark.operators.candidates import explode_bands, lsh_candidate_pairs
 from cloud_dedup_spark.operators.cluster import cluster_assignments, cluster_summary
 from cloud_dedup_spark.operators.exact import (
     exact_duplicate_clusters,
     exact_pair_edges,
 )
-from cloud_dedup_spark.operators.signatures import compute_signatures
+from cloud_dedup_spark.operators.signatures import (
+    SIG_TABLE_COLUMNS,
+    compute_signatures,
+)
 from cloud_dedup_spark.operators.substring import substring_edge_list, substring_edges
 from cloud_dedup_spark.operators.verify import accepted_edges, verify_pairs
 
@@ -97,8 +100,9 @@ def run_pipeline(
 ) -> dict:
     """Run the full dedup pipeline; returns stage DataFrames + metrics.
 
-    Returns dict with keys: identity, exact, signatures, candidate_edges,
-    substring_edges, edges, assignments, clusters, metrics (RunMetrics).
+    Returns dict with keys: identity, exact, norm, signatures, bands,
+    candidate_edges, substring_edges, edges, assignments, clusters,
+    metrics (RunMetrics).
     """
     cfg = cfg or DedupConfig()
     store = CheckpointStore(spark, checkpoint_dir, table_format)
@@ -121,32 +125,69 @@ def run_pipeline(
                        with_partitions=collect_partition_stats)
         return df
 
-    identity = stage("identity", lambda: with_identity(files))
+    # Stage tables are deliberately NARROW.  Materialized stage outputs
+    # (localCheckpoint RDDs / parquet row groups) are re-deserialized in full
+    # by every downstream scan — column pruning cannot reach inside a
+    # checkpointed row — so fat rows tax every one of the many scans below.
+    # Round-1 profile: the wide identity (content + content_norm for all
+    # files) and signature (shingles + minhash + path metadata) tables made
+    # identity/candidates/substring parallelism-flat at 240k files; splitting
+    # them cut the fixed floor ~3×.
 
-    exact = stage("exact", lambda: exact_duplicate_clusters(identity))
+    # identity: metadata + the sha invariant only — content NEVER enters a
+    # checkpoint (at 10^12 files the content column is the corpus itself;
+    # stage tables must stay index-sized).
+    identity_full = with_identity(files)
+    meta_cols = [
+        c for c in identity_full.columns if c not in ("content", "content_norm")
+    ]
+    identity = stage("identity", lambda: identity_full.select(*meta_cols))
+
+    # 64-bit surrogate-id collision guard (normalize.file_id_col): files whose
+    # file_id is shared by a DIFFERENT natural key (detected via the second
+    # independent hash — a 128-bit composite check) are quarantined out of the
+    # graph stages, so a birthday collision (E ≈ 27k pairs at 10^12 files)
+    # can never silently merge two unrelated files into one cluster node.
+    # Quarantined files re-enter the output as flagged singletons.
+    clean_identity, quarantined = quarantine_id_collisions(identity)
+
+    exact = stage("exact", lambda: exact_duplicate_clusters(clean_identity))
 
     # only exact representatives proceed to the similarity stages — the
     # pre-collapse that defuses boilerplate skew (operators/exact.py)
-    reps = identity.join(
-        exact.filter("is_exact_rep").select("file_id"), "file_id", "inner"
+    rep_ids = exact.filter("is_exact_rep").select("file_id")
+
+    # norm: normalized content of representatives only.  The semi join prunes
+    # exact duplicates BEFORE the regex normalization pays for them, and the
+    # repartition doubles as the straggler balancer for the Python signature
+    # stage (file sizes cluster — vendored trees, generated code — so
+    # inherited scan splits give 3× straggler tasks).
+    norm = stage(
+        "norm",
+        lambda: identity_full.select("file_id", "content")
+        .join(rep_ids, "file_id", "left_semi")
+        .repartition(par * 4)
+        .select(
+            "file_id", normalize_content("content").alias("content_norm")
+        ),
     )
 
-    # Round-robin widen before the Python stage: the UDF cost is per-token,
-    # and file sizes cluster (vendored trees, generated code), so inherited
-    # scan splits give straggler tasks — measured as 3-4 workers grinding
-    # for 3× the median task time while the rest idle.  par*4 partitions
-    # give the scheduler slack to balance; the extra shuffle is row-narrow.
     sigs = stage(
         "signatures",
-        lambda: compute_signatures(reps.repartition(par * 4), cfg),
+        lambda: compute_signatures(norm, cfg).select(*SIG_TABLE_COLUMNS),
     )
+
+    # bands: the exploded (file_id, band_key) list, checkpointed once — the
+    # LSH stage reads it twice (bucket sizes, bucket build); 16 B/row beats
+    # re-exploding the shingle-bearing signature rows on each pass.
+    bands = stage("bands", lambda: explode_bands(sigs))
 
     verified = stage(
         "candidate_edges",
-        lambda: verify_pairs(lsh_candidate_pairs(sigs, cfg), sigs, cfg),
+        lambda: verify_pairs(lsh_candidate_pairs(sigs, cfg, bands=bands), sigs, cfg),
     )
 
-    sub_edges = stage("substring_edges", lambda: substring_edges(reps, sigs, cfg))
+    sub_edges = stage("substring_edges", lambda: substring_edges(norm, sigs, cfg))
 
     edges = stage(
         "edges",
@@ -159,7 +200,18 @@ def run_pipeline(
     )
 
     assignments = stage(
-        "cluster_labels", lambda: cluster_assignments(identity, edges)
+        "cluster_labels",
+        lambda: cluster_assignments(clean_identity, edges)
+        .withColumn("quarantined", F.lit(False))
+        .unionByName(
+            quarantined.select(
+                "file_id", "repo", "path",
+                # label by the second hash: unique per quarantined file even
+                # though file_id itself is the collided value
+                F.col("file_id2").alias("cluster_id"),
+                F.lit(True).alias("quarantined"),
+            )
+        ),
     )
 
     clusters = cluster_summary(assignments)
@@ -167,7 +219,9 @@ def run_pipeline(
     return {
         "identity": identity,
         "exact": exact,
+        "norm": norm,
         "signatures": sigs,
+        "bands": bands,
         "candidate_edges": verified,
         "substring_edges": sub_edges,
         "edges": edges,
@@ -177,13 +231,45 @@ def run_pipeline(
     }
 
 
-def invariant_violations(identity: DataFrame) -> DataFrame:
-    """Rows where stored content_sha256 ≠ recomputed sha2(content, 256).
+def quarantine_id_collisions(
+    identity: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the identity frame into (clean, quarantined) on file_id collisions.
+
+    A collision = one ``file_id`` carried by more than one distinct natural
+    key, detected via the second independent hash column ``file_id2``
+    (normalize.file_id2_col) — the composite is 128 bits, so an UNdetected
+    collision needs both hashes to collide (P ≈ 2^-128 per pair; expected
+    ~10^-14 events at 10^12 files).  The check is one narrow groupBy over two
+    long columns.  Quarantining (not failing) keeps the run deterministic and
+    incremental-safe: the colliding files simply never enter the edge graph.
+    """
+    collided = (
+        identity.groupBy("file_id")
+        .agg(F.countDistinct("file_id2").alias("_n2"))
+        .filter(F.col("_n2") > 1)
+        .select("file_id")
+    )
+    clean = identity.join(collided, "file_id", "left_anti")
+    quarantined = identity.join(collided, "file_id", "left_semi")
+    return clean, quarantined
+
+
+def invariant_violations(identity: DataFrame, files: DataFrame) -> DataFrame:
+    """Rows where the identity table's content_sha256 ≠ sha2 recomputed from
+    the source content.
 
     The per-row invariant from BASELINE.json ``input_hint`` — reference
-    analog: MD5 re-verification of candidate content (:257-258).  Empty
-    result = invariant holds.
+    analog: MD5 re-verification of candidate content (:257-258).  The
+    identity stage table carries no content (index-sized by design), so the
+    check joins it back to the source on the natural key and re-hashes.
+    Empty result = invariant holds.
     """
-    return identity.filter(
-        F.col("content_sha256") != F.sha2(F.col("content"), 256)
-    ).select("repo", "path", "content_sha256")
+    recomputed = files.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("_sha_now")
+    )
+    return (
+        identity.join(recomputed, ["repo", "path", "commit"])
+        .filter(F.col("content_sha256") != F.col("_sha_now"))
+        .select("repo", "path", "content_sha256")
+    )

@@ -56,6 +56,17 @@ def build_session(
         # local mode: driver heap IS the cluster's memory; 8g chokes (spill-
         # bound, parallelism-insensitive) beyond ~50k wide content rows
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # shuffle/spill scratch on tmpfs when available: the sandbox's /tmp
+        # sits on a shared virtual disk whose latency jitter dominated stage
+        # times (±2× run-to-run on identical plans); cluster nodes put
+        # spark.local.dir on local NVMe for the same reason
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

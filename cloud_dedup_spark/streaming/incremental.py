@@ -76,8 +76,10 @@ def incremental_dedup_update(
     loc = checkpoint_dir.rstrip("/")
     load = lambda name: spark.read.format(table_format).load(f"{loc}/{name}")  # noqa: E731
 
-    prior_identity = load("identity")
+    prior_identity = load("identity")  # metadata-only (pipeline contract)
     prior_sigs = load("signatures")
+    prior_norm = load("norm")
+    prior_bands = load("bands")
     prior_edges = load("edges")
 
     par = spark.sparkContext.defaultParallelism
@@ -125,12 +127,20 @@ def incremental_dedup_update(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    delta_sigs = compute_signatures(delta_reps, cfg).localCheckpoint()
+    from cloud_dedup_spark.operators.signatures import SIG_TABLE_COLUMNS
+
+    delta_sigs = (
+        compute_signatures(delta_reps, cfg)
+        .select(*SIG_TABLE_COLUMNS)
+        .localCheckpoint()
+    )
+    delta_norm = delta_reps.select("file_id", "content_norm").localCheckpoint()
     union_sigs = prior_sigs.unionByName(delta_sigs)
+    union_norm = prior_norm.unionByName(delta_norm)
 
     # LSH: delta bands against the union — covers delta↔delta and delta↔prior
     delta_bands = explode_bands(delta_sigs)
-    union_bands = explode_bands(union_sigs)
+    union_bands = prior_bands.unionByName(delta_bands)
     lsh_pairs = (
         delta_bands.join(
             union_bands.withColumnRenamed("file_id", "other_id"), "band_key"
@@ -148,13 +158,14 @@ def incremental_dedup_update(
 
     # substring: both delta-anchored directions (new needle in old haystack,
     # old needle in new haystack; delta↔delta covered by the first)
-    union_identity = prior_identity.unionByName(delta_identity)
+    meta_cols = [c for c in prior_identity.columns]
+    union_identity = prior_identity.unionByName(delta_identity.select(*meta_cols))
     delta_ids = delta_sigs.select("file_id")
     sub_new = substring_edge_list(
-        substring_edges(union_identity, union_sigs, cfg, needle_ids=delta_ids)
+        substring_edges(union_norm, union_sigs, cfg, needle_ids=delta_ids)
         .unionByName(
             substring_edges(
-                union_identity, union_sigs, cfg, haystack_ids=delta_ids
+                union_norm, union_sigs, cfg, haystack_ids=delta_ids
             )
         )
         .distinct()
@@ -167,11 +178,31 @@ def incremental_dedup_update(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint()  # materialize BEFORE overwriting the table it reads
     )
-    assignments = cluster_assignments(union_identity, all_edges).localCheckpoint()
+    # same id-collision quarantine as the batch path (pipeline.py) so
+    # incremental == full recompute holds bit-for-bit on the labels table
+    from cloud_dedup_spark.plans.pipeline import quarantine_id_collisions
+
+    clean_union, quarantined_u = quarantine_id_collisions(union_identity)
+    assignments = (
+        cluster_assignments(clean_union, all_edges)
+        .withColumn("quarantined", F.lit(False))
+        .unionByName(
+            quarantined_u.select(
+                "file_id", "repo", "path",
+                F.col("file_id2").alias("cluster_id"),
+                F.lit(True).alias("quarantined"),
+            )
+        )
+        .localCheckpoint()
+    )
 
     # persist: append delta slices, rewrite derived tables
-    delta_identity.write.mode("append").format(table_format).save(f"{loc}/identity")
+    delta_identity.select(*meta_cols).write.mode("append").format(
+        table_format
+    ).save(f"{loc}/identity")
     delta_sigs.write.mode("append").format(table_format).save(f"{loc}/signatures")
+    delta_norm.write.mode("append").format(table_format).save(f"{loc}/norm")
+    delta_bands.write.mode("append").format(table_format).save(f"{loc}/bands")
     all_edges.write.mode("overwrite").format(table_format).save(f"{loc}/edges")
     assignments.write.mode("overwrite").format(table_format).save(
         f"{loc}/cluster_labels"

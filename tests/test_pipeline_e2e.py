@@ -57,9 +57,10 @@ def test_negatives_not_clustered(result):
         assert frozenset((a, b)) not in got
 
 
-def test_sha256_invariant_holds(result):
+def test_sha256_invariant_holds(result, corpus):
+    files, _ = corpus
     res, _ = result
-    assert invariant_violations(res["identity"]).count() == 0
+    assert invariant_violations(res["identity"], files).count() == 0
 
 
 def test_every_file_assigned_exactly_once(result, corpus):
@@ -68,6 +69,15 @@ def test_every_file_assigned_exactly_once(result, corpus):
     asg = res["assignments"]
     assert asg.count() == files.count()
     assert asg.select("file_id").distinct().count() == files.count()
+
+
+def test_no_quarantined_files_in_clean_corpus(result):
+    """The id-collision quarantine (128-bit composite check) must be a no-op
+    on a collision-free corpus: flag column present, zero rows flagged."""
+    res, _ = result
+    asg = res["assignments"]
+    assert "quarantined" in asg.columns
+    assert asg.filter("quarantined").count() == 0
 
 
 def test_metrics_lineage_recorded(result):
