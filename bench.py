@@ -95,21 +95,37 @@ def main() -> None:
 
         # best-of-N: single-run noise on a shared box is ±30%; the best run
         # is the steady-state capability (BENCH_REPEATS=1 for quick checks)
+        # Stage tables go to parquet on tmpfs (the production-faithful
+        # resumable mode): columnar + compressed + column-prunable, so stage
+        # scans read only the columns they need and the JVM heap never holds
+        # deserialized shingle rows.  The in-memory localCheckpoint mode is
+        # fine at test scale but measurably superlinear ≥10^6 files (boxed
+        # array rows → GC thrash).  Wiped per repeat so no stage is skipped.
+        import gc
+        import shutil
+
+        ckpt_base = os.environ.get(
+            "BENCH_CKPT_DIR",
+            "/dev/shm/cloud_dedup_bench_ckpt"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/cloud_dedup_bench_ckpt",
+        )
         repeats = int(os.environ.get("BENCH_REPEATS", "2"))
         pipe_sec = float("inf")
         for _ in range(repeats):
+            shutil.rmtree(ckpt_base, ignore_errors=True)
             t0 = time.time()
-            res = run_pipeline(spark, files, track_rows=False)
+            res = run_pipeline(
+                spark, files, track_rows=False, checkpoint_dir=ckpt_base
+            )
             _force(res["assignments"])
             pipe_sec = min(pipe_sec, round(time.time() - t0, 3))
-            # drop this repeat's localCheckpointed stage RDDs before the next
-            # one: accumulated checkpoint storage from prior repeats measurably
-            # poisons later runs (GC thrash / spill), understating steady state
-            import gc
-
+            # drop per-repeat state (cluster-stage localCheckpoints) before
+            # the next run: accumulated storage poisons later repeats
             del res
             gc.collect()
             spark._jvm.System.gc()
+        shutil.rmtree(ckpt_base, ignore_errors=True)
         timings["dedup_pipeline"] = pipe_sec
 
         total = round(sum(timings.values()), 3)

@@ -217,11 +217,24 @@ def render_html(report: dict) -> str:
         ".tree-node{margin-left:1em}"
         ".tree-file{margin-left:2.2em;font-size:13px}"
         "details>summary{cursor:pointer;margin:.15em 0}"
+        ".warn-banner{background:#f8d7da;color:#721c24;border:1px solid "
+        "#f5c6cb;border-radius:6px;padding:10px 14px;margin:14px 0}"
     )
+    # scan-warnings banner (reference :859-872): rendered before section 1 so
+    # incomplete-input caveats precede every number they qualify
+    warnings = report.get("scan_warnings") or []
+    banner = ""
+    if warnings:
+        items = "".join(f"<li>{html.escape(w)}</li>" for w in warnings)
+        banner = (
+            "<div class='warn-banner'><b>⚠ Scan warnings</b> — results may "
+            f"be incomplete<ul>{items}</ul></div>"
+        )
     return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         f"<title>cloud-dedup-spark report</title><style>{style}</style></head>"
         "<body><h1>cloud-dedup-spark report</h1>"
+        + banner
         + "".join(sections)
         + "</body></html>"
     )

@@ -158,15 +158,17 @@ def run_pipeline(
     rep_ids = exact.filter("is_exact_rep").select("file_id")
 
     # norm: normalized content of representatives only.  The semi join prunes
-    # exact duplicates BEFORE the regex normalization pays for them, and the
-    # repartition doubles as the straggler balancer for the Python signature
-    # stage (file sizes cluster — vendored trees, generated code — so
-    # inherited scan splits give 3× straggler tasks).
+    # exact duplicates BEFORE the regex normalization pays for them.  No
+    # explicit repartition: rep-id sets are narrow (8 B/row), so AQE picks a
+    # broadcast semi join and the content column — the corpus' widest — is
+    # never shuffled at all; 32 MB scan splits (session.py) balance the regex
+    # by bytes, which is what its cost is proportional to.  When the id set
+    # outgrows the broadcast threshold the same plan degrades gracefully to a
+    # shuffled semi join whose hash partitioning balances the UDF instead.
     norm = stage(
         "norm",
         lambda: identity_full.select("file_id", "content")
         .join(rep_ids, "file_id", "left_semi")
-        .repartition(par * 4)
         .select(
             "file_id", normalize_content("content").alias("content_norm")
         ),

@@ -70,8 +70,12 @@ def file_classifications(identity: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def build_report(result: dict) -> dict:
-    """Collect the run summary from pipeline outputs (run_pipeline's dict)."""
+def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
+    """Collect the run summary from pipeline outputs (run_pipeline's dict).
+
+    ``scan_warnings``: ingest-anomaly strings from
+    sources.files_source.scan_warnings — rides the dict into the JSON sink
+    and the HTML banner (reference S6 warnings block, :1490-1496)."""
     identity: DataFrame = result["identity"]
     assignments: DataFrame = result["assignments"]
     clusters: DataFrame = result["clusters"]
@@ -188,6 +192,7 @@ def build_report(result: dict) -> dict:
         "duplicate_group_details": group_details,
         "folder_comparisons": fc_rows,
         "folder_files": folder_files,
+        "scan_warnings": list(scan_warnings or []),
         "stages": metrics.to_dict(),
     }
 

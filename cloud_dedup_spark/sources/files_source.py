@@ -71,6 +71,41 @@ def read_files(
     return df
 
 
+def scan_warnings(
+    df: DataFrame, expected_repos: list[str] | None = None
+) -> list[str]:
+    """Ingest-anomaly warnings — the reference's scan-warning side channel
+    (src/cloud_duplicate_analyzer.py:131-143, :188-191: permission errors and
+    empty scans) mapped to table ingest: an empty source, an expected repo
+    with zero rows, and NULL content blobs (unreadable upstream).
+
+    One aggregate job over (repo, content IS NULL) — never collects rows.
+    Returned strings ride the report dict; html_report renders the banner
+    (reference :859-872) and the list lands in the JSON sink.
+    """
+    agg = df.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("content").isNull(), 1).otherwise(0)).alias("n_null"),
+    ).collect()
+    warnings: list[str] = []
+    total = sum(r["n"] for r in agg)
+    if total == 0:
+        warnings.append("0 files found — source may be empty or inaccessible")
+    present = {r["repo"]: r for r in agg}
+    for repo in expected_repos or []:
+        if repo not in present or present[repo]["n"] == 0:
+            warnings.append(
+                f"{repo}: 0 files found — repo missing from source"
+            )
+    n_null = sum(r["n_null"] for r in agg)
+    if n_null:
+        warnings.append(
+            f"{n_null} row(s) with NULL content — unreadable blobs upstream; "
+            "excluded from content channels"
+        )
+    return warnings
+
+
 def write_files(df: DataFrame, location: str, table_format: str = "parquet",
                 partition_by: tuple[str, ...] = ("lang",)) -> None:
     """Write the base relation partitioned by lang (substring-pass locality +
