@@ -70,6 +70,15 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if "SPARK_DRIVER_MEMORY" in os.environ:
+        # bench sessions: pre-commit the heap (-Xms = -Xmx) so the timed runs
+        # don't pay incremental heap growth + the GC churn it drags along
+        # (measured on the first 16-core repeat); test sessions keep the lazy
+        # default so pytest doesn't reserve tens of GB per session.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ['SPARK_DRIVER_MEMORY']}",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
