@@ -42,6 +42,8 @@ HEADLINE = (
     "unique_docs",
     "ann_topk",
     "emb_near_pairs",
+    "emb_near_pairs_lsh",
+    "ann_topk_ivf",
 )
 
 
@@ -52,9 +54,11 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # large enough that pipeline throughput reflects compute, not the ~30
-    # small-stage latency floor (see BENCH/BASELINE.md analysis)
-    bench_files = int(os.environ.get("BENCH_FILES", "48000"))
+    # large enough that pipeline throughput reflects compute, not the
+    # per-stage latency floor (48k under-reports by ~2×: checkpoint round
+    # trips dominate when the stage tables are tiny — BENCH/ANALYSIS.md);
+    # distributed generation makes the bigger corpus cheap to materialize
+    bench_files = int(os.environ.get("BENCH_FILES", "240000"))
 
     spark = build_session(
         app_name="cloud-dedup-bench",
