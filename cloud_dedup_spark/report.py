@@ -179,8 +179,15 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
         for r in fc.orderBy("folder").limit(MAX_TREE_FOLDERS).collect()
     ]
 
+    n_quarantined = (
+        int(assignments.filter(F.col("quarantined")).count())
+        if "quarantined" in assignments.columns
+        else 0
+    )
+
     return {
         "total_files": int(identity.count()),
+        "n_quarantined_id_collisions": n_quarantined,
         "per_repo_files": per_repo,
         "n_clusters": int(clusters.count()),
         "cluster_size_histogram": cluster_hist,

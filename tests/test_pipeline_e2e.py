@@ -80,6 +80,24 @@ def test_no_quarantined_files_in_clean_corpus(result):
     assert asg.filter("quarantined").count() == 0
 
 
+def test_report_summary_fields(result, corpus):
+    """build_report over a real pipeline result: totals line up, the
+    drill-down detail is populated on the planted corpus, and the quarantine
+    counter is zero on a collision-free corpus (ROADMAP observability item)."""
+    from cloud_dedup_spark.report import build_report
+
+    files, _ = corpus
+    res, _ = result
+    rep = build_report(res)
+    assert rep["total_files"] == files.count()
+    assert rep["n_quarantined_id_collisions"] == 0
+    assert rep["n_clusters"] >= 1
+    assert len(rep["duplicate_group_details"]) >= 1
+    first = rep["duplicate_group_details"][0]
+    assert first["n_files"] >= 2 and len(first["members"]) == first["n_files"]
+    assert rep["folder_comparisons"] and rep["folder_files"]
+
+
 def test_metrics_lineage_recorded(result):
     res, _ = result
     stages = [s.name for s in res["metrics"].stages]
