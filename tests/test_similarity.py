@@ -128,6 +128,28 @@ def test_lsh_near_pairs_bucket_cap_drops_hot_buckets(spark, emb_real):
     assert capped <= full
 
 
+def test_multi_probe_lifts_lsh_recall(spark, emb_real):
+    """Multi-probe (flip each plane bit → n_planes+1 probes) must recover at
+    least every pair single-probe finds, and measurably more on this
+    near-isotropic corpus where bucket boundaries cut true neighbours."""
+    queries = emb_real.filter("vec_id % 50 = 0")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(emb_real, queries, k=3).collect()}
+    # n_planes=4: near-isotropic corpus, neighbours at cos≈0.4 → per-plane
+    # agreement p≈0.63, single-bucket hit p⁴≈0.16, +4·p³(1−p)≈0.37 with
+    # 1-flip probes — enough signal to pin the lift direction robustly
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_bucketed_topk(
+                  emb_real, queries, k=3, n_planes=4).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in lsh_bucketed_topk(
+                 emb_real, queries, k=3, n_planes=4, multi_probe=True).collect()}
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.25, f"multi-probe recall {r_multi:.2f} implausibly low"
+
+
 def test_ivf_topk_recall_vs_brute(spark, emb_real):
     """IVF(nprobe) recall@3 vs the brute-force oracle, pinned ≥ 0.9; plan is
     an equi-join on cell id — no cartesian."""
