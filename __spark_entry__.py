@@ -40,6 +40,58 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# ---- planted fixtures (the reference's make_file discipline,
+# /root/reference/tests/test_cloud_duplicate_analyzer.py:9-16, applied to the
+# driver gate): the synthetic tables contain no exact-duplicate text and no
+# order-less customers, so the dedup/overlap/anti-join oracles would be
+# value-checked against 0 rows — proving nothing about the operators a dedup
+# engine exists for.  Both engines run the IDENTICAL planting expression
+# (UNION ALL of a doc_id/custkey-offset slice), so the hash check gets real
+# support while staying exact.
+
+
+def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("planted").alias("source"),
+        "n_chars",
+    )
+    return docs.unionByName(planted)
+
+
+_DOCS_PLANTED_CTE = """
+        SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang,
+               'planted' AS source, n_chars
+        FROM documents WHERE doc_id % 97 = 0
+"""
+
+
+def _customers_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    planted = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return cust.unionByName(planted)
+
+
+_CUST_PLANTED_CTE = """
+        SELECT * FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
 # ---------------------------------------------------------------- flagship
 
 
@@ -58,7 +110,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_exact_text_dupes(spark, sf_dir):
-    return exact_text_duplicates(_t(spark, sf_dir, "documents")).select(
+    return exact_text_duplicates(_docs_with_planted(spark, sf_dir)).select(
         "fingerprint",
         "n_docs",
         "n_sources",
@@ -86,7 +138,7 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_source_overlap(spark, sf_dir):
-    return source_overlap_counts(_t(spark, sf_dir, "documents"))
+    return source_overlap_counts(_docs_with_planted(spark, sf_dir))
 
 
 def q_unique_docs(spark, sf_dir):
@@ -138,8 +190,9 @@ def q_latest_order_per_customer(spark, sf_dir):
 
 
 def q_customers_without_orders(spark, sf_dir):
-    """Anti-join (E6/A5 analog): customers with zero orders, per nation."""
-    cust = _t(spark, sf_dir, "customer")
+    """Anti-join (E6/A5 analog): customers with zero orders, per nation.
+    Planted order-less customers give the anti-join nonzero support."""
+    cust = _customers_with_planted(spark, sf_dir)
     orders = _t(spark, sf_dir, "orders")
     return (
         cust.join(
@@ -252,11 +305,12 @@ _STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 _ORACLES: dict[str, str] = {
     "exact_text_dupes": f"""
+        WITH docs AS ({_DOCS_PLANTED_CTE})
         SELECT {_FP} AS fingerprint,
                count(*) AS n_docs,
                count(DISTINCT source) AS n_sources,
                min(doc_id) AS min_doc_id
-        FROM documents
+        FROM docs
         GROUP BY 1
         HAVING count(*) >= 2
     """,
@@ -347,8 +401,9 @@ _ORACLES: dict[str, str] = {
         FROM base
     """,
     "source_overlap": f"""
-        WITH fp AS (
-          SELECT DISTINCT {_FP} AS fingerprint, source FROM documents
+        WITH docs AS ({_DOCS_PLANTED_CTE}),
+        fp AS (
+          SELECT DISTINCT {_FP} AS fingerprint, source FROM docs
         )
         SELECT a.source AS source_a, b.source AS source_b,
                count(DISTINCT a.fingerprint) AS n_shared
@@ -408,9 +463,10 @@ _ORACLES: dict[str, str] = {
         )
         SELECT custkey, orderkey, order_date FROM ranked WHERE rn = 1
     """,
-    "customers_without_orders": """
+    "customers_without_orders": f"""
+        WITH cust AS ({_CUST_PLANTED_CTE})
         SELECT c_nationkey, count(*) AS n_customers
-        FROM customer
+        FROM cust
         WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
         GROUP BY c_nationkey
     """,

@@ -116,7 +116,17 @@ def cluster_assignments(
 def cluster_summary(assignments: DataFrame) -> DataFrame:
     """Per-cluster aggregates — reference group fields analog
     (size, repo span, representative; src/cloud_duplicate_analyzer.py:412-428
-    builds rel_path/matches/service_details per group)."""
+    builds rel_path/matches/service_details per group).
+
+    Quarantined rows (id-collision singletons, plans/pipeline.py) are excluded
+    BEFORE grouping: their labels live in the file_id2 hash space, which is
+    not structurally disjoint from the min-file_id label space, so grouping
+    them together could alias a quarantined file into a real cluster's row.
+    Dropping them here makes that aliasing impossible — a quarantined file is
+    by construction never a member of any duplicate cluster.
+    """
+    if "quarantined" in assignments.columns:
+        assignments = assignments.filter(~F.col("quarantined"))
     return (
         assignments.groupBy("cluster_id")
         .agg(

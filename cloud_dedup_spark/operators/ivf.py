@@ -51,11 +51,18 @@ def fit_centroids(
     from pyspark.ml.functions import array_to_vector
 
     src = emb if sample_fraction is None else emb.sample(sample_fraction, seed=seed)
-    vecs = src.select(
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features")
+    # L2-normalize BEFORE the fit (JVM-side): cells must partition the unit
+    # sphere — the space assign-time cosine lives in — not raw euclidean
+    # space, or the cosine-neighbourhood validity argument only holds for
+    # corpora already near unit norm
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    unit = F.transform(
+        dbl, lambda x: x / F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    )
+    vecs = src.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(vecs)
     centers = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     norms = np.linalg.norm(centers, axis=1, keepdims=True)

@@ -241,18 +241,28 @@ def pairwise_repo_counts(clusters: DataFrame) -> DataFrame:
 
 def unique_file_counts(assignments: DataFrame) -> DataFrame:
     """Per-repo count of files in no multi-member cluster (A5, :533-546) —
-    the left-anti-join pattern the reference does with set membership."""
+    the left-anti-join pattern the reference does with set membership.
+
+    Quarantined rows (id-collision singletons) are counted as unique without
+    joining on their label: the quarantine label space (file_id2) is not
+    structurally disjoint from graph cluster ids, so a label match against a
+    real cluster would wrongly demote the quarantined file from unique.
+    """
+    clean = assignments
+    quarantined = None
+    if "quarantined" in assignments.columns:
+        clean = assignments.filter(~F.col("quarantined"))
+        quarantined = assignments.filter(F.col("quarantined"))
     multi = (
-        assignments.groupBy("cluster_id")
+        clean.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("cluster_id")
     )
-    return (
-        assignments.join(multi, "cluster_id", "left_anti")
-        .groupBy("repo")
-        .agg(F.count(F.lit(1)).alias("n_unique_files"))
-    )
+    uniques = clean.join(multi, "cluster_id", "left_anti").select("repo")
+    if quarantined is not None:
+        uniques = uniques.unionByName(quarantined.select("repo"))
+    return uniques.groupBy("repo").agg(F.count(F.lit(1)).alias("n_unique_files"))
 
 
 def relationship_histogram(fc: DataFrame) -> DataFrame:

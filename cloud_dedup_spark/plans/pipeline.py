@@ -209,7 +209,13 @@ def run_pipeline(
             quarantined.select(
                 "file_id", "repo", "path",
                 # label by the second hash: unique per quarantined file even
-                # though file_id itself is the collided value
+                # though file_id itself is the collided value.  This label is
+                # advisory only — it lives in a hash space that is NOT
+                # structurally disjoint from graph cluster ids, so every
+                # downstream cluster_id grouping (cluster_summary, report
+                # drill-down, unique_file_counts) partitions on the
+                # ``quarantined`` flag first and never groups these rows with
+                # graph-labeled ones.
                 F.col("file_id2").alias("cluster_id"),
                 F.lit(True).alias("quarantined"),
             )

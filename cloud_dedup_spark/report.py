@@ -114,8 +114,16 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
     # nested folder tree, :1041-1386) — paged from the stage tables with
     # driver-safe caps, never the raw corpus
     cls = file_classifications(identity, edges)
+    # quarantined singletons never join a drill-down group: their file_id2
+    # labels are not structurally disjoint from graph cluster ids, so a
+    # label collision would alias them into a real group's member list
+    drill = (
+        assignments.filter(~F.col("quarantined"))
+        if "quarantined" in assignments.columns
+        else assignments
+    )
     group_details_rows = (
-        assignments.join(cls.select("file_id", "kind"), "file_id", "left")
+        drill.join(cls.select("file_id", "kind"), "file_id", "left")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_files"),

@@ -56,15 +56,20 @@ def build_session(
         # local mode: driver heap IS the cluster's memory; 8g chokes (spill-
         # bound, parallelism-insensitive) beyond ~50k wide content rows
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # shuffle/spill scratch on tmpfs when available: the sandbox's /tmp
-        # sits on a shared virtual disk whose latency jitter dominated stage
-        # times (±2× run-to-run on identical plans); cluster nodes put
-        # spark.local.dir on local NVMe for the same reason
+        # shuffle/spill scratch: tmpfs only for sessions that explicitly
+        # opted in (bench runs export SPARK_DRIVER_MEMORY; the sandbox's
+        # /tmp sits on a shared virtual disk whose latency jitter dominated
+        # stage times, ±2× run-to-run on identical plans).  The GENERAL
+        # default stays /tmp: on hosts with a small /dev/shm (64 MB Docker
+        # default) RAM-backed spill would fail jobs that disk spill saves.
+        # Cluster nodes point spark.local.dir at local NVMe via submit conf.
         .config(
             "spark.local.dir",
             os.environ.get(
                 "SPARK_LOCAL_DIRS",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+                "/dev/shm/spark-local"
+                if "SPARK_DRIVER_MEMORY" in os.environ and os.path.isdir("/dev/shm")
+                else "/tmp",
             ),
         )
         .config("spark.ui.enabled", "false")

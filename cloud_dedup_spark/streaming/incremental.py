@@ -84,22 +84,41 @@ def incremental_dedup_update(
 
     par = spark.sparkContext.defaultParallelism
     delta_identity = with_identity(new_files)
-    # idempotency guard: a re-delivered file (same repo/path/commit → same
-    # file_id) must not double-append — at-least-once upstream delivery is
-    # the norm for ingest queues
+    # idempotency guard on the FULL 128-bit composite (file_id, file_id2): a
+    # re-delivered file (same repo/path/commit) matches both hashes and is
+    # dropped; a brand-new file whose 64-bit file_id merely collides with a
+    # prior file's (different natural key → different file_id2) survives the
+    # guard and is routed into quarantine below, exactly as the batch path
+    # quarantines it — anti-joining on file_id alone silently swallowed that
+    # event class.
     delta_identity = delta_identity.join(
-        prior_identity.select("file_id"), "file_id", "left_anti"
+        prior_identity.select("file_id", "file_id2"),
+        ["file_id", "file_id2"],
+        "left_anti",
     )
     if delta_identity.rdd.getNumPartitions() < par:
         delta_identity = delta_identity.repartition(par * 2)
     delta_identity = delta_identity.localCheckpoint()
 
+    # quarantine FIRST, as the batch path does (pipeline.py): the union
+    # identity decides which file_ids are collision-quarantined this run
+    # (a delta file can newly quarantine a prior file and vice versa), and
+    # every edge channel below runs on the clean subset only.
+    from cloud_dedup_spark.plans.pipeline import quarantine_id_collisions
+
+    meta_cols = [c for c in prior_identity.columns]
+    union_identity = prior_identity.unionByName(delta_identity.select(*meta_cols))
+    clean_union, quarantined_u = quarantine_id_collisions(union_identity)
+    clean_union = clean_union.localCheckpoint()
+    quarantined_ids = quarantined_u.select("file_id").distinct().localCheckpoint()
+    delta_clean = delta_identity.join(
+        F.broadcast(quarantined_ids), "file_id", "left_anti"
+    )
+
     # --- exact channel: star edges within sha groups touched by the delta ---
     id_cols = ["content_sha256", "file_id"]
-    union_sha = prior_identity.select(*id_cols).unionByName(
-        delta_identity.select(*id_cols)
-    )
-    delta_shas = delta_identity.select("content_sha256").distinct()
+    union_sha = clean_union.select(*id_cols)
+    delta_shas = delta_clean.select("content_sha256").distinct()
     touched = union_sha.join(F.broadcast(delta_shas), "content_sha256", "left_semi")
     w = Window.partitionBy("content_sha256")
     exact_new = (
@@ -114,9 +133,15 @@ def incremental_dedup_update(
     )
 
     # --- similarity channels: only brand-new content computes signatures ---
-    new_content = delta_identity.join(
-        prior_identity.select("content_sha256"), "content_sha256", "left_anti"
-    )
+    # prior side restricted to clean rows: in a full recompute a delta file
+    # whose content matches only a quarantined prior file still computes its
+    # own signatures (the quarantined file never entered the exact channel)
+    prior_clean_shas = clean_union.join(
+        delta_clean.select("file_id", "file_id2").distinct(),
+        ["file_id", "file_id2"],
+        "left_anti",
+    ).select("content_sha256")
+    new_content = delta_clean.join(prior_clean_shas, "content_sha256", "left_anti")
     delta_reps = (
         new_content.withColumn(
             "_rn",
@@ -158,8 +183,6 @@ def incremental_dedup_update(
 
     # substring: both delta-anchored directions (new needle in old haystack,
     # old needle in new haystack; delta↔delta covered by the first)
-    meta_cols = [c for c in prior_identity.columns]
-    union_identity = prior_identity.unionByName(delta_identity.select(*meta_cols))
     delta_ids = delta_sigs.select("file_id")
     sub_new = substring_edge_list(
         substring_edges(union_norm, union_sigs, cfg, needle_ids=delta_ids)
@@ -171,18 +194,29 @@ def incremental_dedup_update(
         .distinct()
     )
 
+    # edges never touch a quarantined id (batch builds all channels from the
+    # clean identity, so a full recompute has no such edge; prior_edges can
+    # carry one when THIS delta newly quarantines a prior file — left
+    # unfiltered it could even bridge two clean files through the quarantined
+    # node in connected components)
     all_edges = (
         prior_edges.unionByName(exact_new)
         .unionByName(near_new)
         .unionByName(sub_new)
+        .join(
+            F.broadcast(quarantined_ids.withColumnRenamed("file_id", "src")),
+            "src",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(quarantined_ids.withColumnRenamed("file_id", "dst")),
+            "dst",
+            "left_anti",
+        )
+        .select("src", "dst", "edge_kind", "score")
         .dropDuplicates(["src", "dst"])
         .localCheckpoint()  # materialize BEFORE overwriting the table it reads
     )
-    # same id-collision quarantine as the batch path (pipeline.py) so
-    # incremental == full recompute holds bit-for-bit on the labels table
-    from cloud_dedup_spark.plans.pipeline import quarantine_id_collisions
-
-    clean_union, quarantined_u = quarantine_id_collisions(union_identity)
     assignments = (
         cluster_assignments(clean_union, all_edges)
         .withColumn("quarantined", F.lit(False))

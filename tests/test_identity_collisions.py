@@ -80,3 +80,96 @@ def test_quarantine_splits_planted_collision(spark):
     # idempotent on a clean frame
     clean2, q2 = quarantine_id_collisions(clean)
     assert q2.count() == 0 and clean2.count() == 2
+
+
+def test_summary_keeps_quarantined_label_collision_separate(spark):
+    """Round-2 review nit: a quarantined singleton's advisory label (file_id2)
+    lives in the same 64-bit space as graph cluster ids, so a birthday
+    collision between them must NOT alias the quarantined file into the real
+    cluster's summary/report/unique counts.  Planted directly: quarantined row
+    carries cluster_id == an existing real cluster's label."""
+    from cloud_dedup_spark.operators.cluster import cluster_summary
+    from cloud_dedup_spark.operators.rollup import unique_file_counts
+
+    asg = spark.createDataFrame(
+        [
+            (1, "ra", "a.py", 1, False),
+            (2, "rb", "b.py", 1, False),   # real 2-file cluster labeled 1
+            (3, "rc", "c.py", 1, True),    # quarantined; label collides with it
+            (4, "rd", "d.py", 4, False),   # clean singleton
+        ],
+        "file_id long, repo string, path string, cluster_id long, quarantined boolean",
+    )
+    summary = cluster_summary(asg).collect()
+    assert len(summary) == 1
+    row = summary[0]
+    assert row["cluster_id"] == 1 and row["n_files"] == 2
+    assert ("rc", "c.py") not in {(m["repo"], m["path"]) for m in row["members"]}
+
+    uniq = {r["repo"]: r["n_unique_files"] for r in unique_file_counts(asg).collect()}
+    # the quarantined file stays unique despite its label matching a multi
+    # cluster; the real cluster's members are not unique; rd is
+    assert uniq == {"rc": 1, "rd": 1}
+
+
+def test_incremental_quarantines_colliding_delta(spark, tmp_path, monkeypatch):
+    """ADVICE round-2 (medium): a NEW file whose 64-bit file_id collides with
+    a prior file's (different natural key → different file_id2) must survive
+    the idempotency guard, be routed into quarantine together with the prior
+    file, and leave incremental == full recompute intact.  Collision planted
+    by narrowing file_id to hash(path) only (a real xxhash64 collision cannot
+    be constructed cheaply); file_id2 keeps the full key so detection works."""
+    import cloud_dedup_spark.functions.normalize as nz
+    from cloud_dedup_spark import run_pipeline
+    from cloud_dedup_spark.streaming.incremental import incremental_dedup_update
+
+    monkeypatch.setattr(nz, "file_id_col", lambda: F.xxhash64("path"))
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    body = "def f(x):\n    return x * 2\n" * 12
+    other = "def g(y):\n    return y + 1\n" * 12
+    base = spark.createDataFrame(
+        [
+            ("repo_a", "src/collide.py", "c1", "py", body),
+            ("repo_a", "src/keep1.py", "c1", "py", other),
+            ("repo_b", "src/keep2.py", "c1", "py", other),  # exact pair with keep1
+        ],
+        schema,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_pipeline(spark, base, checkpoint_dir=ckpt)
+
+    delta = spark.createDataFrame(
+        # same path, different repo → same (narrowed) file_id, new file_id2
+        [("repo_b", "src/collide.py", "c9", "py", "print('new')\n" * 10)],
+        schema,
+    )
+    inc = incremental_dedup_update(spark, delta, ckpt)
+    asg = inc["assignments"]
+    q = {(r["repo"], r["path"]) for r in asg.filter("quarantined").collect()}
+    assert q == {("repo_a", "src/collide.py"), ("repo_b", "src/collide.py")}
+    # total rows = union corpus (nothing silently dropped)
+    assert asg.count() == 4
+    # the exact pair survives untouched
+    pair = {
+        (r["repo"], r["path"])
+        for r in asg.filter("NOT quarantined").collect()
+        if r["path"].startswith("src/keep")
+    }
+    assert pair == {("repo_a", "src/keep1.py"), ("repo_b", "src/keep2.py")}
+
+    # equality with a full recompute over the union, quarantine flags included
+    full = run_pipeline(spark, base.unionByName(delta))["assignments"]
+    key = lambda df: {  # noqa: E731
+        (r["repo"], r["path"]): (r["cluster_id"], r["quarantined"])
+        for r in df.collect()
+    }
+    assert key(asg) == key(full)
+
+    # idempotency still holds: re-delivering an already-ingested file (same
+    # 128-bit composite) appends nothing
+    redeliver = spark.createDataFrame(
+        [("repo_a", "src/keep1.py", "c1", "py", other)], schema
+    )
+    incremental_dedup_update(spark, redeliver, ckpt)
+    assert spark.read.parquet(f"{ckpt}/identity").count() == 4
