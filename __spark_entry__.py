@@ -261,10 +261,45 @@ def q_emb_near_pairs_lsh(spark, sf_dir):
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: k-means coarse cells + nprobe search — the 100 TB top-k path
     (recall@k pinned vs brute force in test_similarity.py).  Non-SQL
-    (iterative k-means) → rows-only driver check."""
+    (iterative k-means) → rows-only driver check.
+
+    The coarse quantizer is corpus state: fit once, persisted as a stage
+    table keyed by (corpus, n_cells, seed), and reused by every later call —
+    the search job never refits k-means (seeded fit ⇒ warm and cold paths
+    return identical results, pinned in test_similarity.py)."""
+    from cloud_dedup_spark.operators.ivf import fit_or_load_centroids
+
     emb = _t(spark, sf_dir, "embeddings")
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    cent = fit_or_load_centroids(
+        spark, emb, n_cells=16, path=f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42",
+        seed=42,
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(emb, queries, k=3, n_cells=16, nprobe=10)
+    return ivf_topk(emb, queries, k=3, n_cells=16, nprobe=10, centroids=cent)
+
+
+def q_emb_near_pairs_ivf(spark, sf_dir):
+    """IVF-blocked near pairs — the density-blocking scale twin of
+    emb_near_pairs for clustered corpora (same-cell candidates, exact
+    re-score ⇒ precision 1.0; subset+recall pinned vs the exact twin in
+    test_similarity.py).  Reuses the persisted coarse quantizer.  Non-SQL
+    (seeded k-means) → rows-only driver check."""
+    from cloud_dedup_spark.operators.ivf import fit_or_load_centroids, ivf_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    cent = fit_or_load_centroids(
+        spark, emb, n_cells=16, path=f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42",
+        seed=42,
+    )
+    # n_assign stays SMALL for pair mining (each vector enters its 3 nearest
+    # cells; candidates must share one) — unlike ivf_topk's nprobe, where
+    # only the query side fans out, a large n_assign here densifies the
+    # self-join toward worse-than-brute-force
+    return ivf_near_pairs(
+        emb, threshold=0.4, n_cells=16, n_assign=3, centroids=cent
+    )
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -294,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_doc_clusters": q_minhash_doc_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
         "emb_near_pairs_lsh": q_emb_near_pairs_lsh,
+        "emb_near_pairs_ivf": q_emb_near_pairs_ivf,
         "ann_topk_ivf": q_ann_topk_ivf,
     }
 

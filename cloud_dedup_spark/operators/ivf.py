@@ -70,6 +70,55 @@ def fit_centroids(
     return centers / norms
 
 
+def save_centroids(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist the quantizer as a (cell, vec) stage table (parquet).
+
+    The coarse quantizer is corpus state, not query state: at scale it is fit
+    once (on a sample), checkpointed next to the other stage tables, and
+    reused by every search/ingest batch — refitting k-means per query batch
+    is the wrong plan (round-2 review).  Same write-once/read-back discipline
+    as plans/pipeline.CheckpointStore.
+    """
+    rows = [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))]
+    spark.createDataFrame(rows, "cell int, vec array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark, path: str) -> np.ndarray:
+    """Read a persisted quantizer back into the (n_cells, dim) matrix."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+
+
+def fit_or_load_centroids(
+    spark,
+    emb: DataFrame,
+    n_cells: int,
+    path: str,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Load the quantizer if the stage table exists, else fit + persist it.
+
+    Deterministic either way (seeded KMeans on the same input yields the same
+    centers), so warm and cold paths return identical search results — pinned
+    by tests/test_similarity.py::test_ivf_fit_once_search_twice.
+    """
+    import os
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return load_centroids(spark, path)
+    centroids = fit_centroids(
+        emb, n_cells, seed=seed, vec_col=vec_col,
+        sample_fraction=sample_fraction, max_iter=max_iter,
+    )
+    save_centroids(spark, centroids, path)
+    return centroids
+
+
 def cell_assign_udf(centroids: np.ndarray, n_assign: int = 1):
     """Arrow-batched UDF: embedding → array of the n_assign nearest cell ids.
 
@@ -96,6 +145,69 @@ def cell_assign_udf(centroids: np.ndarray, n_assign: int = 1):
         return pd.Series(list(top[:, :n_take].astype(np.int32)))
 
     return assign
+
+
+def ivf_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_assign: int = 2,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    cell_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-blocked near pairs: candidates share a coarse cell, then exact
+    cosine re-scoring (ROADMAP 8 — the near-pair analog of ``ivf_topk``).
+
+    The third scale path next to the exact ``similarity.cosine_near_pairs``
+    oracle and the hash-blocked ``cosine_near_pairs_lsh``: on CLUSTERED
+    corpora (real embedding spaces) k-means cells track density, so same-cell
+    blocking prunes far harder than data-oblivious hyperplanes at equal
+    recall; on near-isotropic data the LSH path is the honest choice
+    (similarity.lsh_band_params regime note).  Precision is 1.0 by
+    construction (exact re-score); recall grows with ``n_assign`` — each
+    vector enters its n_assign nearest cells, so a pair is a candidate iff
+    the cells overlap, and n_assign == n_cells degenerates to the exact
+    all-pairs result (pinned in tests/test_similarity.py).
+
+    ``cell_cap``: optional skew guard — cells holding more than cap vectors
+    are dropped from candidate generation (the same bounded-recall/bounded-
+    fan-out contract as cosine_near_pairs_lsh's bucket_cap).
+    """
+    from cloud_dedup_spark.operators.similarity import cosine_udf as _cosine
+
+    if centroids is None:
+        centroids = fit_centroids(emb, n_cells, seed=seed, vec_col=vec_col)
+    assign = cell_assign_udf(centroids, n_assign=n_assign)
+    keyed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.explode(assign(F.col(vec_col))).alias("cell"),
+    )
+    if cell_cap is not None:
+        sizes = keyed.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        keyed = keyed.join(
+            sizes.filter(F.col("n") <= cell_cap).select("cell"),
+            "cell",
+            "left_semi",
+        )
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "cell")
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("score", F.round(_cosine(F.col("vec_a"), F.col("vec_b")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
 
 
 def ivf_topk(

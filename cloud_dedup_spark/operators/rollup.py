@@ -149,9 +149,12 @@ def folder_detail_rows(files: DataFrame) -> DataFrame:
     """Name-level detail — relational form of the reference's details dict
     (in_all / <repo>_only / pairwise-shared, :626-637).
 
-    Output: folder, name, repos (sorted array), detail
-    ('in_all' | 'only' | 'shared').  'shared' = present in ≥2 but not all
-    present repos (the reference's pairwise "<la>+<lb>" rows, :633-637).
+    Output: folder, name, repos (sorted array), detail with the reference's
+    key vocabulary: 'in_all' (present in every present repo), '<repo>_only'
+    (exactly one repo, :629-631), and one row per unordered repo pair
+    '<la>+<lb>' for names shared by ≥2 but not all present repos (:633-637 —
+    a name in 3 of 4 repos yields its 3 pair rows, exactly the reference's
+    ``(sets[la] & sets[lb]) - in_all`` expansion).
     """
     with_f = with_folder_name(files)
     n_present = folder_presence(files).groupBy("folder").agg(
@@ -162,12 +165,26 @@ def folder_detail_rows(files: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_set("repo")).alias("repos"))
         .join(n_present, "folder")
     )
-    detail = (
-        F.when(F.size("repos") == F.col("n_repos_present"), F.lit("in_all"))
-        .when(F.size("repos") == 1, F.lit("only"))
-        .otherwise(F.lit("shared"))
+    # all unordered '<la>+<lb>' labels of the (sorted) repos array, JVM-side
+    pair_labels = F.expr(
+        """
+        flatten(transform(repos, (x, i) ->
+          transform(slice(repos, i + 2, size(repos)), y -> concat(x, '+', y))))
+        """
     )
-    return by_name.select("folder", "name", "repos", detail.alias("detail"))
+    details = (
+        F.when(
+            F.size("repos") == F.col("n_repos_present"), F.array(F.lit("in_all"))
+        )
+        .when(
+            F.size("repos") == 1,
+            F.array(F.concat(F.element_at("repos", 1), F.lit("_only"))),
+        )
+        .otherwise(pair_labels)
+    )
+    return by_name.select(
+        "folder", "name", "repos", F.explode(details).alias("detail")
+    )
 
 
 def subtree_rollup(fc: DataFrame) -> DataFrame:

@@ -27,12 +27,21 @@ Determinism: token hashes are blake2b (content-derived, process-independent);
 the (a_i, b_i) families derive from ``cfg.minhash_seed`` — pinned so recall
 comparisons are reproducible across runs and cluster sizes (SURVEY.md §7.4
 item 3).
+
+Rejected experiment (round 3, measured): moving the tokenizer + token hash
+JVM-side (regexp_extract_all + transform/xxhash64, UDF consuming the int64
+array) REGRESSED the stage 25.8 → 84.6 s at 500k files / local[16] — Java's
+regex engine plus per-element Catalyst lambda evaluation is ~3× slower here
+than Python sre + the batch-lifetime blake2b cache, and it moved the cost
+into the same stage's JVM threads so nothing else absorbed it.  Details in
+BENCH/ANALYSIS.md.
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
+import sys
 from collections.abc import Iterator
 
 import numpy as np
@@ -84,11 +93,15 @@ def _hash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndarray:
-    """Distinct k-token rolling shingle hashes, folded to uint32, as uint64 array."""
+def _token_hash_array(tokens: list[str], cache: dict[str, int]) -> np.ndarray:
+    """Per-token 64-bit hashes as a uint64 array (cached across the batch).
+
+    Computed ONCE per doc and shared by the shingle and SimHash passes — the
+    per-token Python loop is the single biggest constant in the signature
+    UDF, so it must not run twice (measured ~180 µs/doc of the ~700 µs
+    total at ~850 tokens/doc).
+    """
     n = len(tokens)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
     th = np.empty(n, dtype=np.uint64)
     for i, tok in enumerate(tokens):
         h = cache.get(tok)
@@ -96,6 +109,14 @@ def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndar
             h = _token_hash64(tok)
             cache[tok] = h
         th[i] = h
+    return th
+
+
+def _shingle_hashes_from(th: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-token rolling shingle hashes, folded to uint32, as uint64 array."""
+    n = len(th)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     if n < k:
         # short doc: one shingle over all tokens
         acc = np.zeros(1, dtype=np.uint64)
@@ -110,6 +131,11 @@ def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndar
         sh = acc
     # fold 64→32 bits, dedupe
     return np.unique((sh >> np.uint64(32)) ^ (sh & np.uint64(0xFFFFFFFF)))
+
+
+def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndarray:
+    """Token-list convenience wrapper (tests use this form directly)."""
+    return _shingle_hashes_from(_token_hash_array(tokens, cache), k)
 
 
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -167,26 +193,37 @@ def _band_hashes(sig: np.ndarray, num_bands: int, rows: int) -> np.ndarray:
     return acc.astype(np.int64)
 
 
-def _simhash(tokens: list[str], cache: dict[str, int]) -> int:
-    """64-bit SimHash over token frequencies (charikar fingerprint)."""
-    if not tokens:
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+_LITTLE_ENDIAN = sys.byteorder == "little"
+
+
+def _simhash_from_hashes(th: np.ndarray) -> int:
+    """64-bit SimHash over token-hash frequencies (charikar fingerprint).
+
+    Bit-for-bit identical to the dict-of-counts formulation it replaces: the
+    frequency-weighted sum over unique hashes equals the plain ±bit sum over
+    ALL token occurrences, so no unique/count pass is needed at all, and
+    ``np.unpackbits`` over the raw hash bytes replaces the 64-column
+    shift-and-mask matrix (measured 273 → 67 µs/doc at ~850 tokens).
+    """
+    n = len(th)
+    if n == 0:
         return 0
-    uniq: dict[int, int] = {}
-    for tok in tokens:
-        h = cache.get(tok)
-        if h is None:
-            h = _token_hash64(tok)
-            cache[tok] = h
-        uniq[h] = uniq.get(h, 0) + 1
-    hs = np.fromiter(uniq.keys(), dtype=np.uint64, count=len(uniq))
-    ws = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = ((bits * 2 - 1) * ws[:, None]).sum(axis=0)
-    fp = np.uint64(0)
-    for i in range(64):
-        if acc[i] >= 0:
-            fp |= np.uint64(1) << np.uint64(i)
+    if _LITTLE_ENDIAN:
+        bits = np.unpackbits(
+            th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        acc = 2 * bits.sum(axis=0, dtype=np.int64) - n
+    else:  # byte-view bit order is host-endian; keep the portable path
+        bits = ((th[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = 2 * bits.sum(axis=0) - n
+    fp = ((acc >= 0).astype(np.uint64) << _SHIFTS64).sum(dtype=np.uint64)
     return int(fp.astype(np.int64))  # reinterpret as signed for LongType
+
+
+def _simhash(tokens: list[str], cache: dict[str, int]) -> int:
+    """Token-list convenience wrapper (tests use this form directly)."""
+    return _simhash_from_hashes(_token_hash_array(tokens, cache))
 
 
 def make_signature_udf(cfg: DedupConfig):
@@ -209,8 +246,9 @@ def make_signature_udf(cfg: DedupConfig):
             }
             for text in series:
                 tokens = _TOKEN_RE.findall(text) if text else []
-                sh = _shingle_hashes(tokens, k, token_cache)
-                out["n_tokens"].append(len(tokens))
+                th = _token_hash_array(tokens, token_cache)
+                sh = _shingle_hashes_from(th, k)
+                out["n_tokens"].append(len(th))
                 out["n_shingles"].append(len(sh))
                 # int32 reinterpretation for compact ArrayType(IntegerType)
                 out["shingles"].append(sh.astype(np.uint32).astype(np.int32))
@@ -224,7 +262,7 @@ def make_signature_udf(cfg: DedupConfig):
                 else:
                     out["minhash"].append(np.empty(0, dtype=np.int64))
                     out["band_hashes"].append(np.empty(0, dtype=np.int64))
-                out["simhash"].append(_simhash(tokens, token_cache))
+                out["simhash"].append(_simhash_from_hashes(th))
             if len(token_cache) > 1_000_000:  # bound executor-side cache
                 token_cache.clear()
             yield pd.DataFrame(out)

@@ -49,12 +49,31 @@ from pyspark.sql import functions as F
 
 from cloud_dedup_spark.config import DedupConfig
 
+def shingle_inverted_index(sigs: DataFrame) -> DataFrame:
+    """The exploded (dst, hay_tokens, sh) haystack index — the frame
+    ``substring_edges`` scans twice (doc-frequency pass + candidate pass).
+
+    Factored out so the incremental path can PERSIST it as an append-only
+    stage table (streaming/incremental.py): each delta appends only its own
+    exploded rows, and later deltas scan the narrow index parquet instead of
+    re-exploding the whole union's fat signature rows on every update.
+    """
+    return sigs.select("file_id", "shingles", "n_shingles", "n_tokens").filter(
+        F.col("n_shingles") > 0
+    ).select(
+        F.col("file_id").alias("dst"),
+        F.col("n_tokens").alias("hay_tokens"),
+        F.explode("shingles").alias("sh"),
+    )
+
+
 def substring_edges(
     reps: DataFrame,
     sigs: DataFrame,
     cfg: DedupConfig,
     needle_ids: DataFrame | None = None,
     haystack_ids: DataFrame | None = None,
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """Containment edges (src=needle, dst=haystack, src<dst after normalize).
 
@@ -64,6 +83,9 @@ def substring_edges(
     the respective side — the incremental path runs two delta-anchored calls
     (delta needles ⋈ all haystacks, all needles ⋈ delta haystacks) instead of
     recomputing the full cross of an unchanged corpus.
+    ``inverted``: optional prebuilt ``shingle_inverted_index`` frame (e.g. the
+    incremental path's persisted index table); must cover exactly the
+    haystack rows of ``sigs``.  ``haystack_ids`` still applies to it.
     Output: src, dst, needle_len (tokens), where needle content appears
     verbatim inside haystack content.
     """
@@ -75,17 +97,26 @@ def substring_edges(
         needle_base = base.join(
             F.broadcast(needle_ids.select("file_id")), "file_id", "left_semi"
         )
-    hay_base = base
-    if haystack_ids is not None:
-        hay_base = base.join(
-            F.broadcast(haystack_ids.select("file_id")), "file_id", "left_semi"
-        )
 
-    inverted = hay_base.select(
-        F.col("file_id").alias("dst"),
-        F.col("n_tokens").alias("hay_tokens"),
-        F.explode("shingles").alias("sh"),
-    )
+    if inverted is None:
+        hay_base = base
+        if haystack_ids is not None:
+            hay_base = base.join(
+                F.broadcast(haystack_ids.select("file_id")), "file_id", "left_semi"
+            )
+        inverted = hay_base.select(
+            F.col("file_id").alias("dst"),
+            F.col("n_tokens").alias("hay_tokens"),
+            F.explode("shingles").alias("sh"),
+        )
+    elif haystack_ids is not None:
+        inverted = inverted.join(
+            F.broadcast(
+                haystack_ids.select(F.col("file_id").alias("dst"))
+            ),
+            "dst",
+            "left_semi",
+        )
 
     # Candidate anchors: each needle's K min-valued shingles.  Shingle hashes
     # are uniform, so these are K random samples of the doc's shingle set —

@@ -51,7 +51,24 @@ def build_session(
         # normalize, signature UDF): smaller scan splits keep all cores busy
         # on modest inputs; at PB scale the input has thousands of splits
         # regardless and this only bounds per-task memory
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(32 * 1024 * 1024)),
+        )
+        # parquet row groups must start inside a scan split or the split
+        # reads nothing: a table written as N big single-row-group files
+        # caps every downstream scan at N tasks regardless of core count.
+        # Round-3 measurement: the 672 MB bench corpus as 8 one-row-group
+        # files pinned norm/signature scans to 8 tasks (signatures scaled
+        # 104.6 s@4 → 59.5 s@16 — the exact 2× an 8-task ceiling predicts);
+        # 32 MB row groups + 32 MB splits measured best across 240k@32 /
+        # 500k@16 / 500k@4 (16 MB everywhere over-fragmented the 32-core
+        # case, BENCH/ANALYSIS.md).  Files smaller than this are unaffected
+        # (one row group), so the setting only protects the big-file case.
+        .config(
+            "spark.hadoop.parquet.block.size",
+            os.environ.get("SPARK_GRAFT_ROWGROUP_BYTES", str(32 * 1024 * 1024)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode: driver heap IS the cluster's memory; 8g chokes (spill-
         # bound, parallelism-insensitive) beyond ~50k wide content rows

@@ -182,10 +182,33 @@ def incremental_dedup_update(
     )
 
     # substring: both delta-anchored directions (new needle in old haystack,
-    # old needle in new haystack; delta↔delta covered by the first)
+    # old needle in new haystack; delta↔delta covered by the first).
+    # The haystack inverted index is PERSISTED state (append-only): built
+    # once from the prior signatures if absent, appended with only the
+    # delta's exploded rows each update, and scanned by the delta-needles
+    # call — so no update ever re-explodes the union's signature rows
+    # (ROADMAP 5; the delta-haystacks call explodes just the delta, which is
+    # already delta-sized).
+    from cloud_dedup_spark.operators.substring import shingle_inverted_index
+    from cloud_dedup_spark.plans.pipeline import CheckpointStore
+
+    store = CheckpointStore(spark, loc, table_format)
+    index_path = f"{loc}/shingle_index"
+    if not store.exists("shingle_index"):
+        shingle_inverted_index(prior_sigs).write.mode("overwrite").format(
+            table_format
+        ).save(index_path)
+    shingle_inverted_index(delta_sigs).write.mode("append").format(
+        table_format
+    ).save(index_path)
+    union_index = spark.read.format(table_format).load(index_path)
+
     delta_ids = delta_sigs.select("file_id")
     sub_new = substring_edge_list(
-        substring_edges(union_norm, union_sigs, cfg, needle_ids=delta_ids)
+        substring_edges(
+            union_norm, union_sigs, cfg, needle_ids=delta_ids,
+            inverted=union_index,
+        )
         .unionByName(
             substring_edges(
                 union_norm, union_sigs, cfg, haystack_ids=delta_ids

@@ -35,7 +35,7 @@ def main() -> None:
         shuffle_partitions=cpus * 2,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    corpus_path = f"/tmp/cloud_dedup_bench_corpus_v3_{n_files}_42"
+    corpus_path = f"/tmp/cloud_dedup_bench_corpus_v4_{n_files}_42"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         bench_corpus_df(spark, n_files, seed=42).write.mode("overwrite").parquet(
             corpus_path
@@ -63,7 +63,14 @@ def main() -> None:
         print(f"repeat {i}: wall={wall}s  " + json.dumps(stages))
         if best is None or wall < best["wall"]:
             best = {"wall": wall, "stages": stages}
+        # same repeat hygiene as bench.py: drop per-repeat state (cluster-
+        # stage localCheckpoints) so accumulated storage doesn't poison the
+        # next repeat
+        import gc
+
         del res
+        gc.collect()
+        spark._jvm.System.gc()
     shutil.rmtree(ckpt, ignore_errors=True)
     print(json.dumps({"cpus": cpus, "files": n_files, **(best or {})}))
     spark.stop()

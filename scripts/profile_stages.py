@@ -29,7 +29,7 @@ from cloud_dedup_spark.session import build_session
 
 def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    corpus = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cloud_dedup_bench_corpus_v2_240000_42"
+    corpus = sys.argv[2] if len(sys.argv) > 2 else "/tmp/cloud_dedup_bench_corpus_v4_240000_42"
     spark = build_session(
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,

@@ -99,3 +99,30 @@ def test_state_tables_grew(spark, state):
     n_total = base.count() + delta.count()
     assert spark.read.parquet(f"{ckpt}/identity").count() == n_total
     assert spark.read.parquet(f"{ckpt}/cluster_labels").count() == n_total
+
+
+def test_substring_index_is_persistent_and_append_only(spark, state, tmp_path):
+    """ROADMAP 5: the substring haystack inverted index is a persisted stage
+    table.  After an update it covers exactly the union signatures (sum of
+    n_shingles), and a second update grows it by ONLY the new delta's
+    exploded rows — proof the union's signature rows are never re-exploded
+    per delta."""
+    import pyspark.sql.functions as F
+
+    base, delta, ckpt, inc = state
+    idx = spark.read.parquet(f"{ckpt}/shingle_index")
+    sigs = spark.read.parquet(f"{ckpt}/signatures")
+    expected = sigs.filter("n_shingles > 0").agg(F.sum("n_shingles")).first()[0]
+    n_before = idx.count()
+    assert n_before == expected
+
+    gen = _Gen(123)
+    delta2 = spark.createDataFrame(
+        [("repo_a", "inc2/fresh.py", "e1", "py", gen.body(45))], SCHEMA)
+    inc2 = incremental_dedup_update(spark, delta2, ckpt)
+    n_after = spark.read.parquet(f"{ckpt}/shingle_index").count()
+    delta2_shingles = (
+        inc2["delta_signatures"].agg(F.sum("n_shingles")).first()[0] or 0
+    )
+    assert n_after == n_before + delta2_shingles
+    assert delta2_shingles > 0  # the probe actually appended something

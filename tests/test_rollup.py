@@ -74,14 +74,33 @@ def test_empty_vs_nonempty_direct_set_is_containment(spark):
 
 
 def test_detail_rows(spark):
+    """Reference detail-key vocabulary (:626-637): in_all / <repo>_only /
+    '<la>+<lb>' pair rows — the reference's
+    tests/test_unique_folder_visibility.py scenarios name exactly these keys."""
     df = _files(spark, [
         ("ra", "d/common.py"), ("rb", "d/common.py"), ("rc", "d/common.py"),
         ("ra", "d/mine.py"),
         ("ra", "d/pair.py"), ("rb", "d/pair.py"),
     ])
-    got = {r["name"]: r["detail"] for r in
-           folder_detail_rows(df).filter("folder = 'd'").collect()}
-    assert got == {"common.py": "in_all", "mine.py": "only", "pair.py": "shared"}
+    got: dict = {}
+    for r in folder_detail_rows(df).filter("folder = 'd'").collect():
+        got.setdefault(r["name"], set()).add(r["detail"])
+    assert got == {
+        "common.py": {"in_all"},
+        "mine.py": {"ra_only"},
+        "pair.py": {"ra+rb"},
+    }
+
+
+def test_detail_rows_pair_expansion(spark):
+    """A name in 3 of 4 present repos expands to its 3 '<la>+<lb>' rows —
+    the reference's pairwise (sets[la] & sets[lb]) - in_all loop (:633-637)."""
+    df = _files(spark, [
+        ("ra", "d/trio.py"), ("rb", "d/trio.py"), ("rc", "d/trio.py"),
+        ("rd", "d/anchor.py"),  # makes rd present in 'd' without trio.py
+    ])
+    rows = folder_detail_rows(df).filter("name = 'trio.py'").collect()
+    assert {r["detail"] for r in rows} == {"ra+rb", "ra+rc", "rb+rc"}
 
 
 def test_subtree_rollup_and_safe_roots(spark):

@@ -187,3 +187,63 @@ def test_ivf_topk_contract(spark, emb_real):
              for r in brute_force_topk(emb_real, queries, k=3).collect()}
     got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
     assert got == exact
+
+
+def test_ivf_fit_once_search_twice(spark, emb_real, tmp_path):
+    """Quantizer reuse (round-2 review): persisting the seeded k-means
+    centroids as a stage table and searching with the warm matrix must return
+    exactly the per-call-fit results — twice — so the search job never needs
+    to refit at scale."""
+    from cloud_dedup_spark.operators.ivf import fit_or_load_centroids
+
+    queries = emb_real.filter("vec_id % 50 = 0")
+    per_call = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+        for r in ivf_topk(emb_real, queries, k=3, n_cells=8, nprobe=4).collect()
+    }
+    path = str(tmp_path / "quantizer")
+    cold = fit_or_load_centroids(spark, emb_real, n_cells=8, path=path)
+    warm = fit_or_load_centroids(spark, emb_real, n_cells=8, path=path)
+    assert (cold == warm).all()
+    for cent in (cold, warm):
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in ivf_topk(
+                emb_real, queries, k=3, n_cells=8, nprobe=4, centroids=cent
+            ).collect()
+        }
+        assert got == per_call
+
+
+def test_ivf_near_pairs_exact_when_probing_everything(spark, emb_real):
+    """n_assign == n_cells puts every vector in every cell → candidate set is
+    complete and the result equals the exact all-pairs twin, proving the
+    re-scoring path adds no approximation of its own."""
+    from cloud_dedup_spark.operators.ivf import ivf_near_pairs
+
+    exact = {(r["id_a"], r["id_b"], r["score"])
+             for r in cosine_near_pairs(emb_real, 0.4).collect()}
+    got = {(r["id_a"], r["id_b"], r["score"])
+           for r in ivf_near_pairs(
+               emb_real, 0.4, n_cells=8, n_assign=8).collect()}
+    assert got == exact
+
+
+def test_ivf_near_pairs_blocked_subset_no_cartesian(spark, emb_real):
+    """With real pruning (n_assign < n_cells) the result is a PRECISION-1.0
+    subset of the exact twin, the plan is an equi-join on cell (no
+    cartesian), and recall on this corpus stays useful."""
+    from cloud_dedup_spark.operators.ivf import ivf_near_pairs
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_near_pairs(emb_real, 0.4).collect()}
+    df = ivf_near_pairs(emb_real, 0.4, n_cells=8, n_assign=4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert got <= exact  # exact re-score ⇒ no false positives
+    recall = len(got & exact) / len(exact)
+    # near-isotropic corpus = the hard case for density blocking (the module
+    # docstring says so); half the cells probed must still find over half
+    assert recall >= 0.5, f"recall {recall:.2f}"

@@ -86,3 +86,39 @@ def test_corpus_planted_containments_found(spark, corpus):
     got = {frozenset((r["src"], r["dst"])) for r in found}
     for a, b in truth.substring_pairs:
         assert frozenset((idmap[a], idmap[b])) in got, f"missed {a} ⊂ {b}"
+
+
+def test_prebuilt_inverted_index_equals_inline_explode(spark):
+    """substring_edges fed the persisted shingle_inverted_index frame must
+    return exactly the edges of the default inline-explode path (the
+    incremental path scans the index table instead of re-exploding)."""
+    from cloud_dedup_spark.config import DedupConfig
+    from cloud_dedup_spark.functions.normalize import with_identity
+    from cloud_dedup_spark.operators.signatures import compute_signatures
+    from cloud_dedup_spark.operators.substring import (
+        shingle_inverted_index,
+        substring_edges,
+    )
+
+    cfg = DedupConfig()
+    body = " ".join(f"token{i} alpha beta" for i in range(40))
+    hay = "prefix filler " * 30 + body + " suffix filler " * 30
+    files = spark.createDataFrame(
+        [
+            ("ra", "needle.py", "c", "py", body),
+            ("rb", "hay.py", "c", "py", hay),
+            ("rc", "other.py", "c", "py", "unrelated words " * 60),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ident = with_identity(files)
+    sigs = compute_signatures(ident, cfg)
+    reps = ident.select("file_id", "content_norm")
+    inline = {(r["src"], r["dst"]) for r in substring_edges(reps, sigs, cfg).collect()}
+    prebuilt = {
+        (r["src"], r["dst"])
+        for r in substring_edges(
+            reps, sigs, cfg, inverted=shingle_inverted_index(sigs)
+        ).collect()
+    }
+    assert inline == prebuilt and len(inline) >= 1
