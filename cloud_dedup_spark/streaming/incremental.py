@@ -271,6 +271,59 @@ def incremental_dedup_update(
     }
 
 
+def incremental_dedup_stream(
+    spark: SparkSession,
+    source_location: str,
+    checkpoint_dir: str,
+    stream_checkpoint: str,
+    cfg: DedupConfig | None = None,
+    table_format: str = "parquet",
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Full near-dup incremental dedup as a Structured Streaming query.
+
+    ``readStream`` over the files location; each micro-batch folds its delta
+    into the checkpointed stage tables via :func:`incremental_dedup_update`
+    (exact + LSH + substring channels, clusters re-resolved).  Requires a
+    prior ``run_pipeline(..., checkpoint_dir=...)`` run, like the batch-delta
+    entry point it wraps.
+
+    Delivery semantics: ``foreachBatch`` is at-least-once — on recovery a
+    micro-batch can be replayed after its fold already committed.  The fold
+    is idempotent against exactly that: the (file_id, file_id2) composite
+    anti-join drops every already-ingested row, so a replay appends nothing
+    and rewrites derived tables to the same fixed point (pinned by
+    tests/test_streaming.py::test_stream_replay_is_idempotent).
+
+    ``max_files_per_trigger`` bounds micro-batch size (admission control for
+    a backlogged source); ``trigger_available_now`` drains the current
+    backlog then stops — the batch-friendly mode the tests and a nightly
+    ingest job use; continuous tail-ingest jobs pass False.
+    Returns the started StreamingQuery.
+    """
+    cfg = cfg or DedupConfig()
+
+    def fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_dedup_update(
+            spark, batch, checkpoint_dir, cfg, table_format
+        )
+
+    reader = spark.readStream.schema(FILES_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (
+        reader.load(source_location)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", stream_checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_exact_index(
     spark: SparkSession,
     source_location: str,
