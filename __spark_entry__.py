@@ -141,6 +141,17 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap_counts(_docs_with_planted(spark, sf_dir))
 
 
+def q_source_set_relationships(spark, sf_dir):
+    """E2 set-relationship classify over source fingerprint sets (reference
+    :597-622 CASE ladder); planted docs give the classifier nonzero support
+    (the planted source overlaps every original source through its copied
+    slice).  All four relationship classes are pinned with constructed sets
+    in tests/test_documents_ops.py."""
+    from cloud_dedup_spark.operators.documents import source_set_relationships
+
+    return source_set_relationships(_docs_with_planted(spark, sf_dir))
+
+
 def q_unique_docs(spark, sf_dir):
     return unique_docs_per_source(_t(spark, sf_dir, "documents"))
 
@@ -318,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "text_profile": q_text_profile,
         "source_overlap": q_source_overlap,
+        "source_set_relationships": q_source_set_relationships,
         "unique_docs": q_unique_docs,
         "ann_topk": q_ann_topk,
         "emb_near_pairs": q_emb_near_pairs,
@@ -446,6 +458,29 @@ _ORACLES: dict[str, str] = {
         FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
         WHERE a.source < b.source
         GROUP BY 1, 2
+    """,
+    "source_set_relationships": f"""
+        WITH docs AS ({_DOCS_PLANTED_CTE}),
+        fp AS (
+          SELECT DISTINCT {_FP} AS fingerprint, source FROM docs
+        ), sizes AS (
+          SELECT source, count(*) AS n FROM fp GROUP BY 1
+        ), shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+          FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+          WHERE a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b, sa.n AS n_a, sb.n AS n_b, s.n_shared,
+               CASE WHEN s.n_shared = sa.n AND s.n_shared = sb.n
+                      THEN 'identical'
+                    WHEN s.n_shared = sa.n THEN 'subset'
+                    WHEN s.n_shared = sb.n THEN 'superset'
+                    ELSE 'overlap' END AS relationship
+        FROM shared s
+        JOIN sizes sa ON sa.source = s.source_a
+        JOIN sizes sb ON sb.source = s.source_b
     """,
     "unique_docs": f"""
         WITH fp AS (

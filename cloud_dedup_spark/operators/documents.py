@@ -150,6 +150,50 @@ def source_overlap_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_set_relationships(docs: DataFrame) -> DataFrame:
+    """Per source pair: fingerprint-set sizes, overlap, and the E2 set
+    relationship (reference classify, src/cloud_duplicate_analyzer.py:597-622,
+    applied to document corpora instead of folder name sets — the same
+    CASE ladder as ``rollup.folder_comparisons`` pair_rels).
+
+    Output: source_a, source_b (a < b), n_a, n_b, n_shared, relationship in
+    ('identical' | 'subset' | 'superset' | 'overlap').  Disjoint pairs never
+    materialize (the fingerprint equi-join is the blocking join — same scale
+    shape as ``source_overlap_counts``: fan-out per fingerprint is bounded
+    by n_sources², and the per-source size frame is broadcast-tiny).
+    """
+    fp = docs.select(
+        doc_fingerprint("text").alias("fingerprint"), "source"
+    ).distinct()
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select("fingerprint", F.col("source").alias("source_a"))
+    b = fp.select("fingerprint", F.col("source").alias("source_b"))
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .withColumn(
+            "relationship",
+            F.when(
+                (F.col("n_shared") == F.col("n_a"))
+                & (F.col("n_shared") == F.col("n_b")),
+                F.lit("identical"),
+            )
+            .when(F.col("n_shared") == F.col("n_a"), F.lit("subset"))
+            .when(F.col("n_shared") == F.col("n_b"), F.lit("superset"))
+            .otherwise(F.lit("overlap")),
+        )
+        .select("source_a", "source_b", "n_a", "n_b", "n_shared", "relationship")
+    )
+
+
 def unique_docs_per_source(docs: DataFrame) -> DataFrame:
     """Docs whose fingerprint appears exactly once in the corpus, per source
     (A5 analog: the left-anti-join unique count)."""

@@ -1,0 +1,69 @@
+"""documents-table operators: set-relationship classification (E2 analog).
+
+The driver gate (source_set_relationships oracle) exercises the classifier
+on the synthetic corpus where only 'overlap' occurs; this pins all four
+relationship classes with constructed fingerprint sets, the same discipline
+as the reference's folder-visibility scenarios
+(/root/reference/tests/test_unique_folder_visibility.py)."""
+
+from __future__ import annotations
+
+from cloud_dedup_spark.operators.documents import source_set_relationships
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+
+def _doc(i, text, source):
+    return (i, text, "en", source, len(text))
+
+
+def test_all_four_relationship_classes(spark):
+    # identical: A == B; subset: C ⊂ D; superset comes out of (D, C) ordering
+    # flipped by source name; overlap: E ∩ F partial both ways.
+    rows = [
+        _doc(1, "alpha text one", "a_src"),
+        _doc(2, "alpha text two", "a_src"),
+        _doc(3, "alpha text one", "b_src"),
+        _doc(4, "alpha text two", "b_src"),
+        # c_src ⊂ d_src
+        _doc(5, "common doc x", "c_src"),
+        _doc(6, "common doc x", "d_src"),
+        _doc(7, "extra doc only d", "d_src"),
+        # e_src / f_src partial overlap
+        _doc(8, "shared ef", "e_src"),
+        _doc(9, "only e", "e_src"),
+        _doc(10, "shared ef", "f_src"),
+        _doc(11, "only f", "f_src"),
+        # g_src ⊃ h_src with g < h lexically → 'subset' seen from (g,h)?
+        # no — g has more: n_shared == n_b → 'superset'
+        _doc(12, "base gh", "g_src"),
+        _doc(13, "g extra", "g_src"),
+        _doc(14, "base gh", "h_src"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"], r["n_b"], r["n_shared"], r["relationship"]
+        )
+        for r in source_set_relationships(docs).collect()
+    }
+    assert got[("a_src", "b_src")] == (2, 2, 2, "identical")
+    assert got[("c_src", "d_src")] == (1, 2, 1, "subset")
+    assert got[("g_src", "h_src")] == (2, 1, 1, "superset")
+    assert got[("e_src", "f_src")] == (2, 2, 1, "overlap")
+    # disjoint pairs never materialize
+    assert ("a_src", "c_src") not in got
+
+
+def test_duplicate_texts_within_source_count_once(spark):
+    rows = [
+        _doc(1, "same body", "x_src"),
+        _doc(2, "same body", "x_src"),  # dup within source: one fingerprint
+        _doc(3, "same body", "y_src"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    out = source_set_relationships(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (1, 1, 1)
+    assert r["relationship"] == "identical"
