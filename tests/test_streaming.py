@@ -132,3 +132,65 @@ def test_exact_index_stream_matches_batch_groups(spark, tmp_path):
         set(r["content_sha256"] for r in idx.collect())
         == set(r["content_sha256"] for r in batch.collect())
     )
+
+
+def test_stateful_duplicate_counts_cross_batch(spark, tmp_path):
+    """applyInPandasWithState holds per-hash state ACROSS micro-batches: a
+    batch-2 copy of a batch-1 document must report cumulative n_seen=2 with
+    the batch-1 first-seen attribution."""
+    from cloud_dedup_spark.streaming.stateful import streaming_duplicate_counts
+
+    gen = _Gen(55)
+    dup = gen.body(30)
+    src = str(tmp_path / "src")
+    batch1 = [
+        ("r1", "a.py", "c1", "py", dup),
+        ("r1", "b.py", "c2", "py", gen.body(25)),
+    ]
+    batch2 = [
+        ("r2", "copy.py", "c3", "py", dup),
+        ("r2", "fresh.py", "c4", "py", gen.body(28)),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    counts = streaming_duplicate_counts(
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("dup_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    rows = spark.sql(
+        "SELECT * FROM dup_counts"
+    ).collect()
+    # update mode appends one row per touched key per batch to the memory
+    # sink; the row with the highest n_seen per hash is the cumulative state
+    # (sink row order across batches is not a contract)
+    latest: dict = {}
+    for r in rows:
+        k = r["content_sha256"]
+        if k not in latest or r["n_seen"] > latest[k]["n_seen"]:
+            latest[k] = r
+    by_first = {
+        (r["first_repo"], r["first_path"]): r["n_seen"]
+        for r in latest.values()
+    }
+    # the duplicated content: seen twice, attributed to its batch-1 location
+    assert by_first[("r1", "a.py")] == 2
+    # singletons: seen once
+    assert by_first[("r1", "b.py")] == 1
+    assert by_first[("r2", "fresh.py")] == 1
+    # the dup hash must have emitted an update in BOTH batches (cross-batch
+    # state, not per-batch counting)
+    dup_rows = [r for r in rows if r["first_path"] == "a.py"]
+    assert sorted(r["n_seen"] for r in dup_rows) == [1, 2]
