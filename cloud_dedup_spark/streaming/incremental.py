@@ -198,9 +198,15 @@ def incremental_dedup_update(
         shingle_inverted_index(prior_sigs).write.mode("overwrite").format(
             table_format
         ).save(index_path)
-    shingle_inverted_index(delta_sigs).write.mode("append").format(
-        table_format
-    ).save(index_path)
+    # insert-if-absent (anti-join on dst): a replayed micro-batch that
+    # crashed mid-write must not double-append a doc's exploded rows —
+    # see the crash-safety note at the persist section below
+    existing_dst = spark.read.format(table_format).load(index_path).select(
+        "dst"
+    ).distinct()
+    shingle_inverted_index(delta_sigs).join(
+        existing_dst, "dst", "left_anti"
+    ).write.mode("append").format(table_format).save(index_path)
     union_index = spark.read.format(table_format).load(index_path)
 
     delta_ids = delta_sigs.select("file_id")
@@ -253,16 +259,50 @@ def incremental_dedup_update(
         .localCheckpoint()
     )
 
-    # persist: append delta slices, rewrite derived tables
-    delta_identity.select(*meta_cols).write.mode("append").format(
-        table_format
-    ).save(f"{loc}/identity")
-    delta_sigs.write.mode("append").format(table_format).save(f"{loc}/signatures")
-    delta_norm.write.mode("append").format(table_format).save(f"{loc}/norm")
-    delta_bands.write.mode("append").format(table_format).save(f"{loc}/bands")
+    # persist — crash-safe under foreachBatch replay at ANY point:
+    #   1. derived tables (edges, cluster_labels) are overwritten FIRST;
+    #      their frames are localCheckpoint-materialized above, so
+    #      overwriting the tables they were read from is safe, and a crash
+    #      right after leaves derived state ahead of base state — the replay
+    #      recomputes the same edges deterministically and overwrites again;
+    #   2. every append is insert-if-absent (anti-join on file_id against
+    #      the live table), so a replay after a partial append never
+    #      duplicates rows;
+    #   3. identity goes LAST: it is the table the top-of-fold idempotency
+    #      guard keys on, i.e. the commit point.  A crash anywhere before it
+    #      leaves the delta "not yet ingested" — the replay redoes the fold
+    #      and reconverges; a crash after it means every other write already
+    #      committed.  (The earlier ordering appended identity first: a
+    #      crash between that append and the edges overwrite silently
+    #      dropped the delta's edges forever, because the replay saw the
+    #      delta as already delivered.  Pinned by
+    #      tests/test_incremental.py::test_partial_write_replay_reconverges.)
     all_edges.write.mode("overwrite").format(table_format).save(f"{loc}/edges")
     assignments.write.mode("overwrite").format(table_format).save(
         f"{loc}/cluster_labels"
+    )
+
+    def _append_absent(df: DataFrame, name: str, keys: list[str]) -> None:
+        existing = (
+            spark.read.format(table_format)
+            .load(f"{loc}/{name}")
+            .select(*keys)
+            .distinct()
+        )
+        df.join(existing, keys, "left_anti").write.mode("append").format(
+            table_format
+        ).save(f"{loc}/{name}")
+
+    # sigs/norm/bands hold clean exact-representatives only, where file_id is
+    # unique (a colliding delta file never reaches them — quarantined above),
+    # so file_id alone is the right key; identity holds EVERY row incl.
+    # quarantined collision pairs, so its key is the 128-bit composite —
+    # a file_id-only guard would silently drop a new colliding file's row.
+    _append_absent(delta_sigs, "signatures", ["file_id"])
+    _append_absent(delta_norm, "norm", ["file_id"])
+    _append_absent(delta_bands, "bands", ["file_id"])
+    _append_absent(
+        delta_identity.select(*meta_cols), "identity", ["file_id", "file_id2"]
     )
     return {
         "assignments": assignments,

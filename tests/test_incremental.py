@@ -101,6 +101,68 @@ def test_state_tables_grew(spark, state):
     assert spark.read.parquet(f"{ckpt}/cluster_labels").count() == n_total
 
 
+def test_partial_write_replay_reconverges(spark, tmp_path):
+    """Crash-safety of the fold's persist sequence: simulate a micro-batch
+    that committed EVERY write except the identity commit point (the
+    worst-case window — under the old identity-first ordering this exact
+    scenario silently lost the delta's edges forever), then replay the same
+    delta.  The replay must reconverge bit-for-bit: no duplicated rows in
+    any append table, clusters identical to a clean single run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    rows, _ = generate_corpus(150, seed=21)
+    base = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+         for r in rows], SCHEMA)
+    ckpt_a = str(tmp_path / "a")
+    ckpt_b = str(tmp_path / "b")
+    run_pipeline(spark, base, checkpoint_dir=ckpt_a)
+    shutil.copytree(ckpt_a, ckpt_b)
+
+    gen = _Gen(67)
+    pair = gen.body(55)
+    delta = spark.createDataFrame(
+        [
+            ("repo_x", "p/exact_of_old.py", "z1", "py", rows[0]["content"]),
+            ("repo_x", "p/pair1.py", "z2", "py", pair),
+            ("repo_y", "p/pair2.py", "z3", "py", pair),
+        ],
+        SCHEMA,
+    )
+    incremental_dedup_update(spark, delta, ckpt_a)  # the clean run
+
+    # B "crashed" with everything EXCEPT identity committed: copy A's
+    # post-update derived + append tables, keep B's pre-update identity
+    for t in ("edges", "cluster_labels", "signatures", "norm", "bands",
+              "shingle_index"):
+        shutil.rmtree(f"{ckpt_b}/{t}", ignore_errors=True)
+        shutil.copytree(f"{ckpt_a}/{t}", f"{ckpt_b}/{t}")
+
+    incremental_dedup_update(spark, delta, ckpt_b)  # the replay
+
+    for t in ("identity", "signatures", "norm", "bands", "shingle_index"):
+        na = spark.read.parquet(f"{ckpt_a}/{t}").count()
+        nb = spark.read.parquet(f"{ckpt_b}/{t}").count()
+        assert nb == na, f"{t}: replay changed row count {na} -> {nb}"
+    # append tables hold no duplicated keys after the replay
+    sigs_b = spark.read.parquet(f"{ckpt_b}/signatures")
+    assert sigs_b.count() == sigs_b.select("file_id").distinct().count()
+    idx_b = spark.read.parquet(f"{ckpt_b}/shingle_index")
+    per_dst = idx_b.groupBy("dst").count()
+    sigs_n = sigs_b.select("file_id", "n_shingles").withColumnRenamed(
+        "file_id", "dst")
+    assert (
+        per_dst.join(sigs_n, "dst")
+        .filter(F.col("count") != F.col("n_shingles"))
+        .count()
+        == 0
+    )
+    assert _clusters(spark.read.parquet(f"{ckpt_b}/cluster_labels")) == \
+        _clusters(spark.read.parquet(f"{ckpt_a}/cluster_labels"))
+
+
 def test_substring_index_is_persistent_and_append_only(spark, state, tmp_path):
     """ROADMAP 5: the substring haystack inverted index is a persisted stage
     table.  After an update it covers exactly the union signatures (sum of
