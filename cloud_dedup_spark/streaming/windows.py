@@ -1,0 +1,67 @@
+"""Event-time windowed ingest statistics with watermarked late-data handling.
+
+The ingest monitoring companion to the stateful dup counter: per event-time
+window and language, how many files arrived and roughly how many distinct
+content hashes they carried.  Structured Streaming's canonical
+watermark + window pattern:
+
+  * event-time column (ingest/commit timestamp from the source), NOT
+    processing time — results are replay-deterministic;
+  * ``withWatermark`` bounds state: a window's aggregation state is dropped
+    once the watermark (max event time − delay) passes its end, so state
+    size is O(active windows), not O(history) — the property that lets this
+    run forever at 10^12-file scale;
+  * late rows within the delay still merge into their window; rows later
+    than the delay are dropped by contract (the batch pipeline picks them up
+    at the next full run — streaming stats are operational telemetry, not
+    the source of truth);
+  * ``approx_count_distinct`` (HLL) for the hash cardinality — exact
+    distinct inside a streaming window would hold every hash in state.
+
+Output modes: ``append`` emits each window once, when the watermark closes
+it (the mode a downstream alerting sink wants); ``update`` emits running
+refinements.  Tests drive availableNow micro-batches through both the
+on-time and the too-late path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_dedup_spark.functions.normalize import with_identity
+
+
+def windowed_ingest_profile(
+    stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "20 minutes",
+) -> DataFrame:
+    """Per (event-time window, lang): arrivals + approximate distinct hashes.
+
+    ``stream``: streaming files frame carrying an event-time column
+    ``ts_col`` (timestamp).  Returns an aggregated streaming frame with
+    columns (window_start, window_end, lang, n_files, approx_uniq_hashes);
+    pair with ``outputMode("append")`` for emit-once-per-closed-window.
+    """
+    identified = with_identity(stream).select(
+        F.col(ts_col), "lang", "content_sha256"
+    )
+    return (
+        identified.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.approx_count_distinct("content_sha256").alias(
+                "approx_uniq_hashes"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_files",
+            "approx_uniq_hashes",
+        )
+    )

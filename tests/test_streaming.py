@@ -194,3 +194,91 @@ def test_stateful_duplicate_counts_cross_batch(spark, tmp_path):
     # state, not per-batch counting)
     dup_rows = [r for r in rows if r["first_path"] == "a.py"]
     assert sorted(r["n_seen"] for r in dup_rows) == [1, 2]
+
+
+def test_windowed_ingest_profile_watermark_and_late_data(spark, tmp_path):
+    """Watermark + event-time window semantics end-to-end in append mode:
+    a window is emitted exactly once after the watermark passes its end,
+    late-but-within-delay rows merge into their window, and rows later than
+    the watermark delay are dropped."""
+    from pyspark.sql import functions as F
+
+    from cloud_dedup_spark.streaming.windows import windowed_ingest_profile
+
+    gen = _Gen(91)
+    src = str(tmp_path / "src")
+    ts_schema = SCHEMA + ", ingest_ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ts_schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def drain():
+        """One availableNow run over the same stream checkpoint: exactly the
+        new files form this run's micro-batch, so watermark progression
+        across write_batch calls is deterministic (a single multi-file run
+        may coalesce files into one batch and never advance the watermark
+        between them)."""
+        profile = windowed_ingest_profile(
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src),
+            ts_col="ingest_ts",
+            window_duration="10 minutes",
+            watermark_delay="1 minute",
+        )
+        q = (
+            profile.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        assert not q.isActive
+
+    # batch 1: two files in the 10:00-10:10 window → watermark 10:04
+    write_batch([
+        ("r1", "w/a.py", "c1", "py", gen.body(20), ts(1)),
+        ("r1", "w/b.py", "c2", "py", gen.body(22), ts(5)),
+    ])
+    drain()
+    # batch 2: a late row for that window — 10:07 > watermark 10:04, so it
+    # merges; the 10:31 row then pushes the watermark to 10:30, closing the
+    # 10:00-10:10 window
+    write_batch([
+        ("r2", "w/late_ok.py", "c3", "py", gen.body(24), ts(7)),
+        ("r2", "w/mover.py", "c4", "py", gen.body(26), ts(31)),
+    ])
+    drain()
+    # batch 3: a hopeless straggler at 10:02 (watermark 10:30 → dropped by
+    # contract) plus a far-future row that closes every remaining window
+    write_batch([
+        ("r3", "w/too_late.py", "c5", "py", gen.body(28), ts(2)),
+        ("r3", "w/future.py", "c6", "py", gen.body(30), ts(120)),
+    ])
+    drain()
+
+    rows = spark.read.parquet(str(tmp_path / "sink")).collect()
+    by_window = {
+        (r["window_start"].minute, r["lang"]): r for r in rows
+    }
+    # the 10:00-10:10 window closed with batch-1's rows AND the late-ok row,
+    # but WITHOUT the too-late straggler from batch 3
+    w0 = by_window[(0, "py")]
+    assert w0["n_files"] == 3
+    assert w0["approx_uniq_hashes"] >= 2  # 3 distinct bodies, HLL approx
+    # the mover's 10:30-10:40 window closed via the far-future row
+    assert by_window[(30, "py")]["n_files"] == 1
+    # the future row's own window never closed (watermark stops before it)
+    assert (0, "py") in by_window and len(by_window) == 2
+    # each emitted window appears exactly once (append mode contract)
+    assert len(rows) == len({(r["window_start"], r["lang"]) for r in rows})
