@@ -65,7 +65,7 @@ def streamed(spark, tmp_path_factory):
         spark, src, ckpt, str(root / "stream_ckpt"),
         max_files_per_trigger=1,  # force ≥2 micro-batches over the backlog
     )
-    q.awaitTermination(timeout=300)
+    q.awaitTermination(timeout=600)
     assert not q.isActive
     delta = spark.createDataFrame(delta_rows, SCHEMA)
     return base, delta, ckpt, src, root
@@ -93,7 +93,7 @@ def test_stream_replay_is_idempotent(spark, streamed):
     before_clusters = _clusters(spark.read.parquet(f"{ckpt}/cluster_labels"))
 
     q = incremental_dedup_stream(spark, src, ckpt, str(root / "replay_ckpt"))
-    q.awaitTermination(timeout=300)
+    q.awaitTermination(timeout=600)
     assert not q.isActive
 
     assert spark.read.parquet(f"{ckpt}/identity").count() == before_ids
@@ -118,7 +118,7 @@ def test_exact_index_stream_matches_batch_groups(spark, tmp_path):
     idx_loc = str(tmp_path / "sha_index")
     q = incremental_exact_index(
         spark, src, idx_loc, str(tmp_path / "ckpt"))
-    q.awaitTermination(timeout=300)
+    q.awaitTermination(timeout=600)
 
     idx = spark.read.parquet(idx_loc)
     assert idx.count() == 3
@@ -167,7 +167,7 @@ def test_stateful_duplicate_counts_cross_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    q.awaitTermination(timeout=600)
     assert not q.isActive
 
     rows = spark.sql(
@@ -242,7 +242,7 @@ def test_windowed_ingest_profile_watermark_and_late_data(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout=300)
+        q.awaitTermination(timeout=600)
         assert not q.isActive
 
     # batch 1: two files in the 10:00-10:10 window → watermark 10:04
