@@ -269,21 +269,37 @@ def q_emb_near_pairs_lsh(spark, sf_dir):
     )
 
 
+def _quantizer_path(spark, emb, sf_dir):
+    """Quantizer cache path keyed by a CONTENT fingerprint of the embeddings
+    table, not just its location: regenerated test data must never silently
+    reuse centroids fit on the old corpus (stale cells = degraded recall with
+    no warning).  One cheap agg — count + a hash folding ids and a value
+    probe — scoped to the table the quantizer was fit on."""
+    fp = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent, no ANSI long-sum overflow
+        F.expr(
+            "bit_xor(xxhash64(vec_id, element_at(embedding, 1)))"
+        ).alias("h"),
+    ).first()
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42_{fp['n']}_{fp['h'] & 0xFFFFFFFF:x}"
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: k-means coarse cells + nprobe search — the 100 TB top-k path
     (recall@k pinned vs brute force in test_similarity.py).  Non-SQL
     (iterative k-means) → rows-only driver check.
 
     The coarse quantizer is corpus state: fit once, persisted as a stage
-    table keyed by (corpus, n_cells, seed), and reused by every later call —
-    the search job never refits k-means (seeded fit ⇒ warm and cold paths
-    return identical results, pinned in test_similarity.py)."""
+    table keyed by (corpus fingerprint, n_cells, seed), and reused by every
+    later call — the search job never refits k-means (seeded fit ⇒ warm and
+    cold paths return identical results, pinned in test_similarity.py)."""
     from cloud_dedup_spark.operators.ivf import fit_or_load_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = sf_dir.rstrip("/").replace("/", "_")
     cent = fit_or_load_centroids(
-        spark, emb, n_cells=16, path=f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42",
+        spark, emb, n_cells=16, path=_quantizer_path(spark, emb, sf_dir),
         seed=42,
     )
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -299,9 +315,8 @@ def q_emb_near_pairs_ivf(spark, sf_dir):
     from cloud_dedup_spark.operators.ivf import fit_or_load_centroids, ivf_near_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = sf_dir.rstrip("/").replace("/", "_")
     cent = fit_or_load_centroids(
-        spark, emb, n_cells=16, path=f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42",
+        spark, emb, n_cells=16, path=_quantizer_path(spark, emb, sf_dir),
         seed=42,
     )
     # n_assign stays SMALL for pair mining (each vector enters its 3 nearest

@@ -54,11 +54,12 @@ def _force(df) -> None:
 
 def main() -> None:
     # bench sessions opt into the measurement-grade config regardless of the
-    # caller's environment: pre-sized heap and tmpfs shuffle scratch (the
-    # session gates tmpfs on SPARK_DRIVER_MEMORY so library users on small-
-    # /dev/shm hosts keep the safe /tmp default — a bare `python bench.py`
-    # must not silently measure the jittery-disk configuration)
+    # caller's environment: pre-sized heap and tmpfs shuffle scratch (its
+    # own explicit flag; library users on small-/dev/shm hosts keep the safe
+    # /tmp default — a bare `python bench.py` must not silently measure the
+    # jittery-disk configuration)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # large enough that pipeline throughput reflects compute, not the

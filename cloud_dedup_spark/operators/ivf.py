@@ -106,10 +106,17 @@ def fit_or_load_centroids(
     Deterministic either way (seeded KMeans on the same input yields the same
     centers), so warm and cold paths return identical search results — pinned
     by tests/test_similarity.py::test_ivf_fit_once_search_twice.
-    """
-    import os
 
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    Existence goes through the Hadoop FileSystem API (same discipline as
+    plans/pipeline.CheckpointStore.exists): a driver-local os.path check is
+    always False for hdfs:///s3a:// paths, which would silently refit
+    k-means on every call — the exact per-query refit this function exists
+    to avoid.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_SUCCESS")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         return load_centroids(spark, path)
     centroids = fit_centroids(
         emb, n_cells, seed=seed, vec_col=vec_col,

@@ -69,6 +69,17 @@ def compact_stage_tables(
     report: dict = {}
     for name in tables:
         path = f"{loc}/{name}"
+        # crash repair BEFORE the skip checks: a kill between the two swap
+        # renames leaves the data parked in <table>.compact.old with the
+        # main path missing — without this, the next run would see
+        # n_files == 0, skip, and the table would be silently lost forever
+        fs, hpath, jvm = _fs(spark, path)
+        P = jvm.org.apache.hadoop.fs.Path
+        old_p, tmp_p = P(f"{path}.compact.old"), P(f"{path}.compact.tmp")
+        if not fs.exists(hpath) and fs.exists(old_p):
+            if not fs.rename(old_p, hpath):
+                raise IOError(f"crash repair failed for {path}")
+        fs.delete(tmp_p, True)  # a stale tmp is always safe to drop
         n_files, total = _dir_stats(spark, path)
         if n_files == 0:
             continue
@@ -79,16 +90,39 @@ def compact_stage_tables(
         tmp = f"{path}.compact.tmp"
         old = f"{path}.compact.old"
         # coalesce, not repartition: compaction must not shuffle the data it
-        # rewrites — each output task concatenates whole input files
-        df.coalesce(want).write.mode("overwrite").parquet(tmp)
-        fs, hpath, jvm = _fs(spark, path)
-        P = jvm.org.apache.hadoop.fs.Path
+        # rewrites — each output task concatenates whole input files.
+        # Batch-partitioned tables (shingle_index writes one partition per
+        # ingest batch) are folded into a single `compacted` partition so
+        # the layout stays partitioned and future per-batch dynamic
+        # overwrites keep working.  Run compaction only while ingest is
+        # paused: a replay of a PRE-compaction batch would re-add rows the
+        # compacted partition already holds (the stream checkpoint prevents
+        # such replays in normal operation).
+        writer = df
+        if "ingest_batch" in df.columns:
+            from pyspark.sql import functions as F
+
+            writer = df.drop("ingest_batch").withColumn(
+                "ingest_batch", F.lit("compacted")
+            )
+            writer.coalesce(want).write.mode("overwrite").partitionBy(
+                "ingest_batch"
+            ).parquet(tmp)
+        else:
+            writer.coalesce(want).write.mode("overwrite").parquet(tmp)
         fs.delete(P(old), True)
         if not fs.rename(hpath, P(old)):
             raise IOError(f"compaction swap failed for {path}")
         if not fs.rename(P(tmp), hpath):
-            # roll back so the table never disappears
-            fs.rename(P(old), hpath)
+            # roll back so the table never disappears; if even the rollback
+            # rename fails, fail LOUD with the recovery path — the entry
+            # repair above also restores from .compact.old on the next run
+            if not fs.rename(P(old), hpath):
+                raise IOError(
+                    f"compaction rollback ALSO failed for {path}; data is "
+                    f"intact at {old} — rename it back manually or rerun "
+                    f"compact_stage_tables (entry repair restores it)"
+                )
             raise IOError(f"compaction swap failed for {path}")
         fs.delete(P(old), True)
         after, _ = _dir_stats(spark, path)

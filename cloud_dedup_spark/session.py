@@ -73,19 +73,22 @@ def build_session(
         # local mode: driver heap IS the cluster's memory; 8g chokes (spill-
         # bound, parallelism-insensitive) beyond ~50k wide content rows
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # shuffle/spill scratch: tmpfs only for sessions that explicitly
-        # opted in (bench runs export SPARK_DRIVER_MEMORY; the sandbox's
-        # /tmp sits on a shared virtual disk whose latency jitter dominated
-        # stage times, ±2× run-to-run on identical plans).  The GENERAL
-        # default stays /tmp: on hosts with a small /dev/shm (64 MB Docker
-        # default) RAM-backed spill would fail jobs that disk spill saves.
-        # Cluster nodes point spark.local.dir at local NVMe via submit conf.
+        # shuffle/spill scratch: tmpfs only behind its OWN explicit opt-in
+        # flag (SPARK_GRAFT_TMPFS=1, exported by bench/profile entry points;
+        # the sandbox's /tmp sits on a shared virtual disk whose latency
+        # jitter dominated stage times, ±2× run-to-run on identical plans).
+        # The GENERAL default stays /tmp: on hosts with a small /dev/shm
+        # (64 MB Docker default) RAM-backed spill would fail jobs that disk
+        # spill saves — and gating on SPARK_DRIVER_MEMORY (a round-3 interim)
+        # silently opted in anyone who merely tuned their heap.  Cluster
+        # nodes point spark.local.dir at local NVMe via submit conf.
         .config(
             "spark.local.dir",
             os.environ.get(
                 "SPARK_LOCAL_DIRS",
                 "/dev/shm/spark-local"
-                if "SPARK_DRIVER_MEMORY" in os.environ and os.path.isdir("/dev/shm")
+                if os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+                and os.path.isdir("/dev/shm")
                 else "/tmp",
             ),
         )

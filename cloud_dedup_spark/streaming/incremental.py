@@ -115,11 +115,25 @@ def incremental_dedup_update(
         F.broadcast(quarantined_ids), "file_id", "left_anti"
     )
 
-    # --- exact channel: star edges within sha groups touched by the delta ---
+    # --- exact channel: star edges within sha groups touched by the delta
+    # OR by a quarantined prior member.  The second clause is the repair
+    # path: when a collision quarantines a prior group's rep, that group's
+    # surviving members lost their star edges with the rep — a full
+    # recompute re-stars them around the new min-id clean member, so the
+    # fold must too (quarantined shas are by construction a tiny set, so
+    # re-deriving their stars every fold is cheap and idempotent).
     id_cols = ["content_sha256", "file_id"]
     union_sha = clean_union.select(*id_cols)
     delta_shas = delta_clean.select("content_sha256").distinct()
-    touched = union_sha.join(F.broadcast(delta_shas), "content_sha256", "left_semi")
+    prior_q_shas = (
+        prior_identity.join(F.broadcast(quarantined_ids), "file_id", "left_semi")
+        .select("content_sha256")
+        .distinct()
+    )
+    touched_shas = delta_shas.unionByName(prior_q_shas).distinct()
+    touched = union_sha.join(
+        F.broadcast(touched_shas), "content_sha256", "left_semi"
+    )
     w = Window.partitionBy("content_sha256")
     exact_new = (
         touched.withColumn("rep", F.min("file_id").over(w))
@@ -154,12 +168,60 @@ def incremental_dedup_update(
     )
     from cloud_dedup_spark.operators.signatures import SIG_TABLE_COLUMNS
 
+    # --- rep inheritance (quarantine repair, similarity side): a collision
+    # can quarantine the one member that carried a sha group's signature and
+    # norm rows (the exact-rep).  Prior content is not in state (never
+    # checkpointed), but no recompute is needed: same sha ⇒ byte-identical
+    # content, so the group's new min-id clean rep inherits RELABELED copies
+    # of the quarantined donor's rows, and then flows through every delta
+    # channel below (LSH bands, substring needles+index, persisted appends)
+    # exactly like brand-new content.  Idempotent: once repaired, the new
+    # rep has a signature row and the anti-join below finds nothing.
+    new_reps = (
+        clean_union.join(
+            F.broadcast(touched_shas), "content_sha256", "left_semi"
+        )
+        .groupBy("content_sha256")
+        .agg(F.min("file_id").alias("file_id"))
+    )
+    reps_missing = new_reps.join(
+        prior_sigs.select("file_id"), "file_id", "left_anti"
+    ).join(
+        delta_reps.select("file_id"), "file_id", "left_anti"
+    )
+    donors = (
+        prior_identity.join(
+            F.broadcast(quarantined_ids), "file_id", "left_semi"
+        )
+        .select("content_sha256", F.col("file_id").alias("donor_id"))
+    )
+    sig_payload = [c for c in SIG_TABLE_COLUMNS if c != "file_id"]
+    inherited_sigs = (
+        reps_missing.join(donors, "content_sha256")
+        .join(
+            prior_sigs.withColumnRenamed("file_id", "donor_id"), "donor_id"
+        )
+        .select("file_id", *sig_payload)
+    )
+    inherited_norm = (
+        reps_missing.join(donors, "content_sha256")
+        .join(
+            prior_norm.withColumnRenamed("file_id", "donor_id"), "donor_id"
+        )
+        .select("file_id", "content_norm")
+    )
+
     delta_sigs = (
         compute_signatures(delta_reps, cfg)
         .select(*SIG_TABLE_COLUMNS)
+        .unionByName(inherited_sigs)
         .localCheckpoint()
     )
-    delta_norm = delta_reps.select("file_id", "content_norm").localCheckpoint()
+    delta_norm = (
+        delta_reps.select("file_id", "content_norm")
+        .unionByName(inherited_norm)
+        .localCheckpoint()
+    )
     union_sigs = prior_sigs.unionByName(delta_sigs)
     union_norm = prior_norm.unionByName(delta_norm)
 
@@ -183,31 +245,51 @@ def incremental_dedup_update(
 
     # substring: both delta-anchored directions (new needle in old haystack,
     # old needle in new haystack; delta↔delta covered by the first).
-    # The haystack inverted index is PERSISTED state (append-only): built
-    # once from the prior signatures if absent, appended with only the
-    # delta's exploded rows each update, and scanned by the delta-needles
-    # call — so no update ever re-explodes the union's signature rows
-    # (ROADMAP 5; the delta-haystacks call explodes just the delta, which is
-    # already delta-sized).
+    # The haystack inverted index is PERSISTED state, grown one
+    # batch-partition per delta: built once from the prior signatures if
+    # absent, extended with only the delta's exploded rows each update, and
+    # scanned by the delta-needles call — so no update ever re-explodes the
+    # union's signature rows (ROADMAP 5; the delta-haystacks call explodes
+    # just the delta, which is already delta-sized).
     from cloud_dedup_spark.operators.substring import shingle_inverted_index
     from cloud_dedup_spark.plans.pipeline import CheckpointStore
 
     store = CheckpointStore(spark, loc, table_format)
     index_path = f"{loc}/shingle_index"
     if not store.exists("shingle_index"):
-        shingle_inverted_index(prior_sigs).write.mode("overwrite").format(
+        # first incremental run: base partition from the prior signatures
+        shingle_inverted_index(prior_sigs).withColumn(
+            "ingest_batch", F.lit("base")
+        ).write.mode("overwrite").partitionBy("ingest_batch").format(
             table_format
         ).save(index_path)
-    # insert-if-absent (anti-join on dst): a replayed micro-batch that
-    # crashed mid-write must not double-append a doc's exploded rows —
-    # see the crash-safety note at the persist section below
-    existing_dst = spark.read.format(table_format).load(index_path).select(
-        "dst"
-    ).distinct()
-    shingle_inverted_index(delta_sigs).join(
-        existing_dst, "dst", "left_anti"
-    ).write.mode("append").format(table_format).save(index_path)
-    union_index = spark.read.format(table_format).load(index_path)
+
+    # The index is the LARGEST stage table (one row per corpus token), so
+    # its append idempotency must not cost a per-delta scan of the table
+    # (an insert-if-absent distinct over `dst` is O(corpus tokens) per
+    # micro-batch).  Instead each delta writes its exploded rows into its
+    # OWN partition, keyed deterministically by the delta's composite ids:
+    # a replayed micro-batch recomputes the same key and dynamic partition
+    # overwrite replaces exactly that partition — idempotent at O(delta).
+    bfp = delta_identity.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent and overflow-free (ANSI mode makes a
+        # long sum of hashes throw on overflow)
+        F.expr("bit_xor(xxhash64(file_id, file_id2))").alias("h"),
+    ).first()
+    batch_key = f"b_{bfp['n']}_{(bfp['h'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
+
+    delta_index = shingle_inverted_index(delta_sigs)
+    # union for THIS fold's reads: stored partitions except a half-written
+    # copy of this very batch (crash window: index written, identity not),
+    # plus the in-memory delta rows — exact in every replay window
+    union_index = (
+        spark.read.format(table_format)
+        .load(index_path)
+        .filter(F.col("ingest_batch") != batch_key)
+        .select("dst", "hay_tokens", "sh")
+        .unionByName(delta_index)
+    )
 
     delta_ids = delta_sigs.select("file_id")
     sub_new = substring_edge_list(
@@ -280,6 +362,19 @@ def incremental_dedup_update(
     all_edges.write.mode("overwrite").format(table_format).save(f"{loc}/edges")
     assignments.write.mode("overwrite").format(table_format).save(
         f"{loc}/cluster_labels"
+    )
+
+    # index rows land in this batch's own partition (see batch_key above);
+    # dynamic overwrite touches only partitions present in the data, so an
+    # empty replay delta writes nothing and a crashed half-write is replaced
+    # wholesale on the next replay
+    (
+        delta_index.withColumn("ingest_batch", F.lit(batch_key))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .format(table_format)
+        .save(index_path)
     )
 
     def _append_absent(df: DataFrame, name: str, keys: list[str]) -> None:

@@ -38,6 +38,7 @@ def run(cpus: int, bench_files: int) -> dict:
     env = dict(
         os.environ,
         SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+        SPARK_GRAFT_TMPFS=os.environ.get("SPARK_GRAFT_TMPFS", "1"),
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_FILES=str(bench_files),
         BENCH_ONLY_PIPELINE="1",

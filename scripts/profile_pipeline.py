@@ -29,6 +29,7 @@ def main() -> None:
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     spark = build_session(
         app_name="profile-pipeline",
         master=f"local[{cpus}]",

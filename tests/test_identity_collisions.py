@@ -173,3 +173,63 @@ def test_incremental_quarantines_colliding_delta(spark, tmp_path, monkeypatch):
     )
     incremental_dedup_update(spark, redeliver, ckpt)
     assert spark.read.parquet(f"{ckpt}/identity").count() == 4
+
+
+def test_incremental_quarantined_rep_group_repaired(spark, tmp_path, monkeypatch):
+    """Round-3 review finding: a delta collision that quarantines a PRIOR
+    group's exact-rep must not orphan the group's surviving members.  The
+    fold re-stars the group around its new min-id clean rep, which inherits
+    relabeled copies of the quarantined donor's signature/norm rows (same
+    sha ⇒ identical content), so the LSH/substring channels keep firing —
+    and incremental == full recompute, the module's core invariant."""
+    import cloud_dedup_spark.functions.normalize as nz
+    from cloud_dedup_spark import run_pipeline
+    from cloud_dedup_spark.corpus import _Gen, _near_edit
+    from cloud_dedup_spark.streaming.incremental import incremental_dedup_update
+
+    monkeypatch.setattr(nz, "file_id_col", lambda: F.xxhash64("path"))
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    gen = _Gen(41)
+    body = gen.body(60)
+    paths = ["src/g1.py", "src/g2.py", "src/g3.py"]
+    # the group's exact-rep is the min-file_id member; with file_id narrowed
+    # to hash(path), find which path that is so the delta can collide with it
+    hashes = {
+        p: spark.range(1).select(F.xxhash64(F.lit(p))).first()[0] for p in paths
+    }
+    rep_path = min(paths, key=lambda p: hashes[p])
+    near_q = _near_edit(body, gen.rng)  # near-dup neighbor of the group
+    base_rows = [("repo_a", p, "c1", "py", body) for p in paths]
+    base_rows.append(("repo_b", "src/nearq.py", "c1", "py", near_q))
+    base = spark.createDataFrame(base_rows, schema)
+    ckpt = str(tmp_path / "ckpt")
+    run_pipeline(spark, base, checkpoint_dir=ckpt)
+
+    # delta: same path (→ same narrowed file_id, different file_id2),
+    # unrelated content — quarantines the prior rep and itself
+    delta = spark.createDataFrame(
+        [("repo_z", rep_path, "c9", "py", "completely unrelated body\n" * 8)],
+        schema,
+    )
+    inc = incremental_dedup_update(spark, delta, ckpt)
+    full = run_pipeline(spark, base.unionByName(delta))["assignments"]
+
+    def flags(df):
+        return {(r["repo"], r["path"]): r["quarantined"] for r in df.collect()}
+
+    assert flags(inc["assignments"]) == flags(full)
+
+    def clusters(df):
+        got: dict = {}
+        for r in df.filter("NOT quarantined").collect():
+            got.setdefault(r["cluster_id"], set()).add((r["repo"], r["path"]))
+        return {frozenset(v) for v in got.values() if len(v) >= 2}
+
+    assert clusters(inc["assignments"]) == clusters(full)
+    # the surviving exact pair re-starred around the new rep AND the near-dup
+    # neighbor stayed linked (signature inheritance fed the LSH channel)
+    surviving = {("repo_a", p) for p in paths if p != rep_path}
+    c = next(c for c in clusters(inc["assignments"]) if surviving & set(c))
+    assert surviving <= set(c)
+    assert ("repo_b", "src/nearq.py") in c
