@@ -269,7 +269,7 @@ def q_emb_near_pairs_lsh(spark, sf_dir):
     )
 
 
-def _quantizer_path(spark, emb, sf_dir):
+def _quantizer_path(emb, sf_dir):
     """Quantizer cache path keyed by a CONTENT fingerprint of the embeddings
     table, not just its location: regenerated test data must never silently
     reuse centroids fit on the old corpus (stale cells = degraded recall with
@@ -277,13 +277,15 @@ def _quantizer_path(spark, emb, sf_dir):
     probe — scoped to the table the quantizer was fit on."""
     fp = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        # bit_xor: order-independent, no ANSI long-sum overflow
+        # bit_xor: order-independent, no ANSI long-sum overflow; NULL (and
+        # guarded to 0) over an empty table
         F.expr(
             "bit_xor(xxhash64(vec_id, element_at(embedding, 1)))"
         ).alias("h"),
     ).first()
     tag = sf_dir.rstrip("/").replace("/", "_")
-    return f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42_{fp['n']}_{fp['h'] & 0xFFFFFFFF:x}"
+    h = (fp["h"] or 0) & 0xFFFFFFFF
+    return f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42_{fp['n']}_{h:x}"
 
 
 def q_ann_topk_ivf(spark, sf_dir):
@@ -299,7 +301,7 @@ def q_ann_topk_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = fit_or_load_centroids(
-        spark, emb, n_cells=16, path=_quantizer_path(spark, emb, sf_dir),
+        spark, emb, n_cells=16, path=_quantizer_path(emb, sf_dir),
         seed=42,
     )
     queries = emb.filter(F.col("vec_id") % 50 == 0)
@@ -316,7 +318,7 @@ def q_emb_near_pairs_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = fit_or_load_centroids(
-        spark, emb, n_cells=16, path=_quantizer_path(spark, emb, sf_dir),
+        spark, emb, n_cells=16, path=_quantizer_path(emb, sf_dir),
         seed=42,
     )
     # n_assign stays SMALL for pair mining (each vector enters its 3 nearest

@@ -79,6 +79,11 @@ def compact_stage_tables(
         if not fs.exists(hpath) and fs.exists(old_p):
             if not fs.rename(old_p, hpath):
                 raise IOError(f"crash repair failed for {path}")
+        elif fs.exists(hpath):
+            # crash AFTER the tmp→main rename but before the .old cleanup
+            # leaves a full stale copy behind — drop it here so it cannot
+            # linger for the lifetime of a rarely-fragmenting table
+            fs.delete(old_p, True)
         fs.delete(tmp_p, True)  # a stale tmp is always safe to drop
         n_files, total = _dir_stats(spark, path)
         if n_files == 0:
@@ -94,22 +99,29 @@ def compact_stage_tables(
         # Batch-partitioned tables (shingle_index writes one partition per
         # ingest batch) are folded into a single `compacted` partition so
         # the layout stays partitioned and future per-batch dynamic
-        # overwrites keep working.  Run compaction only while ingest is
-        # paused: a replay of a PRE-compaction batch would re-add rows the
-        # compacted partition already holds (the stream checkpoint prevents
-        # such replays in normal operation).
-        writer = df
+        # overwrites keep working; their rows are also DE-DUPLICATED here
+        # (index rows are unique by construction — (dst, sh) per doc — so a
+        # full-row distinct only removes crash artifacts, e.g. a batch that
+        # replayed after its partition was folded away).  That dedup is the
+        # one shuffle compaction performs, and it makes the index
+        # self-healing: run compaction while ingest is drained AND the last
+        # batch's identity append committed; if that discipline is ever
+        # violated, the duplicate rows it can create are removed by the
+        # next compaction instead of accumulating.
         if "ingest_batch" in df.columns:
             from pyspark.sql import functions as F
 
-            writer = df.drop("ingest_batch").withColumn(
-                "ingest_batch", F.lit("compacted")
+            (
+                df.drop("ingest_batch")
+                .dropDuplicates()
+                .withColumn("ingest_batch", F.lit("compacted"))
+                .coalesce(want)
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(tmp)
             )
-            writer.coalesce(want).write.mode("overwrite").partitionBy(
-                "ingest_batch"
-            ).parquet(tmp)
         else:
-            writer.coalesce(want).write.mode("overwrite").parquet(tmp)
+            df.coalesce(want).write.mode("overwrite").parquet(tmp)
         fs.delete(P(old), True)
         if not fs.rename(hpath, P(old)):
             raise IOError(f"compaction swap failed for {path}")

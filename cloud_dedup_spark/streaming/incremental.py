@@ -83,7 +83,21 @@ def incremental_dedup_update(
     prior_edges = load("edges")
 
     par = spark.sparkContext.defaultParallelism
-    delta_identity = with_identity(new_files)
+    delta_identity_raw = with_identity(new_files)
+    # batch fingerprint from the RAW delivered batch, BEFORE the idempotency
+    # guard: a replayed micro-batch recomputes the identical key no matter
+    # how much of the batch a crashed attempt managed to commit (a key
+    # derived from the post-guard delta would drift after a partial identity
+    # append, splitting one batch's index rows across two partitions)
+    bfp = delta_identity_raw.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent and overflow-free (ANSI mode makes a
+        # long sum of hashes throw on overflow)
+        F.expr("bit_xor(xxhash64(file_id, file_id2))").alias("h"),
+    ).first()
+    n_raw = bfp["n"]
+    batch_key = f"b_{n_raw}_{(bfp['h'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
+
     # idempotency guard on the FULL 128-bit composite (file_id, file_id2): a
     # re-delivered file (same repo/path/commit) matches both hashes and is
     # dropped; a brand-new file whose 64-bit file_id merely collides with a
@@ -91,7 +105,7 @@ def incremental_dedup_update(
     # guard and is routed into quarantine below, exactly as the batch path
     # quarantines it — anti-joining on file_id alone silently swallowed that
     # event class.
-    delta_identity = delta_identity.join(
+    delta_identity = delta_identity_raw.join(
         prior_identity.select("file_id", "file_id2"),
         ["file_id", "file_id2"],
         "left_anti",
@@ -99,6 +113,10 @@ def incremental_dedup_update(
     if delta_identity.rdd.getNumPartitions() < par:
         delta_identity = delta_identity.repartition(par * 2)
     delta_identity = delta_identity.localCheckpoint()
+    n_delta = delta_identity.count()
+    # False only when a crashed attempt committed part of this batch's
+    # identity append — the recovery-only path for the index write below
+    clean_first_attempt = n_delta == n_raw
 
     # quarantine FIRST, as the batch path does (pipeline.py): the union
     # identity decides which file_ids are collision-quarantined this run
@@ -125,12 +143,21 @@ def incremental_dedup_update(
     id_cols = ["content_sha256", "file_id"]
     union_sha = clean_union.select(*id_cols)
     delta_shas = delta_clean.select("content_sha256").distinct()
-    prior_q_shas = (
-        prior_identity.join(F.broadcast(quarantined_ids), "file_id", "left_semi")
-        .select("content_sha256")
-        .distinct()
-    )
-    touched_shas = delta_shas.unionByName(prior_q_shas).distinct()
+    # the overwhelmingly common case is zero quarantined ids; the repair
+    # machinery below joins full prior tables, so gate it entirely (the
+    # frame is localCheckpoint-materialized — this count is metadata-cheap)
+    has_quarantine = quarantined_ids.limit(1).count() > 0
+    if has_quarantine:
+        prior_q_shas = (
+            prior_identity.join(
+                F.broadcast(quarantined_ids), "file_id", "left_semi"
+            )
+            .select("content_sha256")
+            .distinct()
+        )
+        touched_shas = delta_shas.unionByName(prior_q_shas).distinct()
+    else:
+        touched_shas = delta_shas
     touched = union_sha.join(
         F.broadcast(touched_shas), "content_sha256", "left_semi"
     )
@@ -168,60 +195,89 @@ def incremental_dedup_update(
     )
     from cloud_dedup_spark.operators.signatures import SIG_TABLE_COLUMNS
 
-    # --- rep inheritance (quarantine repair, similarity side): a collision
-    # can quarantine the one member that carried a sha group's signature and
-    # norm rows (the exact-rep).  Prior content is not in state (never
-    # checkpointed), but no recompute is needed: same sha ⇒ byte-identical
-    # content, so the group's new min-id clean rep inherits RELABELED copies
-    # of the quarantined donor's rows, and then flows through every delta
-    # channel below (LSH bands, substring needles+index, persisted appends)
-    # exactly like brand-new content.  Idempotent: once repaired, the new
-    # rep has a signature row and the anti-join below finds nothing.
-    new_reps = (
-        clean_union.join(
-            F.broadcast(touched_shas), "content_sha256", "left_semi"
+    delta_sigs_base = compute_signatures(delta_reps, cfg).select(
+        *SIG_TABLE_COLUMNS
+    )
+    delta_norm_base = delta_reps.select("file_id", "content_norm")
+    if has_quarantine:
+        # --- rep inheritance (quarantine repair, similarity side): a
+        # collision can quarantine the one member that carried a sha group's
+        # signature and norm rows (the exact-rep).  Prior content is not in
+        # state (never checkpointed), but no recompute is needed: same sha ⇒
+        # byte-identical content, so the group's new min-id clean rep
+        # inherits RELABELED copies of a donor's rows, then flows through
+        # every delta channel below (LSH bands, substring needles+index,
+        # persisted appends) exactly like brand-new content.
+        #
+        # Donor validity: a sig row's file_id can be AMBIGUOUS — both
+        # members of a collision pair share it, and only one of them wrote
+        # the row.  A donor is used only when every prior identity row with
+        # that file_id has one sha (then the row provably carries that
+        # sha's content); ambiguous carriers are skipped — bounded recall
+        # loss in an astronomically rare corner, never wrong signatures.
+        # Exactly ONE donor is picked per sha (successive repairs can leave
+        # several carriers).  Repair triggers only for groups with NO clean
+        # sig-carrier left — if any clean member still carries signatures,
+        # the group's similarity channels are intact and inheritance would
+        # only grow the tables.  Idempotent: a repaired rep is itself a
+        # clean carrier on the next fold.
+        new_reps = (
+            clean_union.join(
+                F.broadcast(touched_shas), "content_sha256", "left_semi"
+            )
+            .groupBy("content_sha256")
+            .agg(F.min("file_id").alias("file_id"))
         )
-        .groupBy("content_sha256")
-        .agg(F.min("file_id").alias("file_id"))
-    )
-    reps_missing = new_reps.join(
-        prior_sigs.select("file_id"), "file_id", "left_anti"
-    ).join(
-        delta_reps.select("file_id"), "file_id", "left_anti"
-    )
-    donors = (
-        prior_identity.join(
-            F.broadcast(quarantined_ids), "file_id", "left_semi"
+        clean_carrier_shas = (
+            prior_identity.join(
+                F.broadcast(quarantined_ids), "file_id", "left_anti"
+            )
+            .join(prior_sigs.select("file_id"), "file_id", "left_semi")
+            .select("content_sha256")
+            .distinct()
         )
-        .select("content_sha256", F.col("file_id").alias("donor_id"))
-    )
-    sig_payload = [c for c in SIG_TABLE_COLUMNS if c != "file_id"]
-    inherited_sigs = (
-        reps_missing.join(donors, "content_sha256")
-        .join(
+        reps_missing = new_reps.join(
+            clean_carrier_shas, "content_sha256", "left_anti"
+        ).join(delta_reps.select("file_id"), "file_id", "left_anti")
+        unambiguous = (
+            prior_identity.groupBy("file_id")
+            .agg(
+                F.countDistinct("content_sha256").alias("_n"),
+                F.min("content_sha256").alias("content_sha256"),
+            )
+            .filter(F.col("_n") == 1)
+            .select("content_sha256", F.col("file_id").alias("donor_id"))
+        )
+        donor_pick = (
+            unambiguous.join(
+                prior_sigs.select(F.col("file_id").alias("donor_id")),
+                "donor_id",
+                "left_semi",
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("content_sha256").orderBy("donor_id")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        repair_map = reps_missing.select("content_sha256", "file_id").join(
+            donor_pick, "content_sha256"
+        )
+        sig_payload = [c for c in SIG_TABLE_COLUMNS if c != "file_id"]
+        inherited_sigs = repair_map.join(
             prior_sigs.withColumnRenamed("file_id", "donor_id"), "donor_id"
-        )
-        .select("file_id", *sig_payload)
-    )
-    inherited_norm = (
-        reps_missing.join(donors, "content_sha256")
-        .join(
+        ).select("file_id", *sig_payload)
+        inherited_norm = repair_map.join(
             prior_norm.withColumnRenamed("file_id", "donor_id"), "donor_id"
-        )
-        .select("file_id", "content_norm")
-    )
+        ).select("file_id", "content_norm")
+        delta_sigs_base = delta_sigs_base.unionByName(inherited_sigs)
+        delta_norm_base = delta_norm_base.unionByName(inherited_norm)
 
-    delta_sigs = (
-        compute_signatures(delta_reps, cfg)
-        .select(*SIG_TABLE_COLUMNS)
-        .unionByName(inherited_sigs)
-        .localCheckpoint()
-    )
-    delta_norm = (
-        delta_reps.select("file_id", "content_norm")
-        .unionByName(inherited_norm)
-        .localCheckpoint()
-    )
+    delta_sigs = delta_sigs_base.localCheckpoint()
+    delta_norm = delta_norm_base.localCheckpoint()
     union_sigs = prior_sigs.unionByName(delta_sigs)
     union_norm = prior_norm.unionByName(delta_norm)
 
@@ -263,26 +319,40 @@ def incremental_dedup_update(
         ).write.mode("overwrite").partitionBy("ingest_batch").format(
             table_format
         ).save(index_path)
+    elif "ingest_batch" not in spark.read.format(table_format).load(
+        index_path
+    ).columns:
+        # one-time migration of a checkpoint written before the index was
+        # batch-partitioned: rewrite it as the base partition via a tmp-dir
+        # swap (reading and overwriting the same path in one job loses data)
+        from cloud_dedup_spark.plans.maintenance import _fs
+
+        tmp_path = f"{index_path}.migrate.tmp"
+        spark.read.format(table_format).load(index_path).withColumn(
+            "ingest_batch", F.lit("base")
+        ).write.mode("overwrite").partitionBy("ingest_batch").format(
+            table_format
+        ).save(tmp_path)
+        fs, hpath, jvm = _fs(spark, index_path)
+        P = jvm.org.apache.hadoop.fs.Path
+        if not fs.delete(hpath, True) or not fs.rename(P(tmp_path), hpath):
+            raise IOError(f"shingle_index migration failed for {index_path}")
 
     # The index is the LARGEST stage table (one row per corpus token), so
     # its append idempotency must not cost a per-delta scan of the table
     # (an insert-if-absent distinct over `dst` is O(corpus tokens) per
     # micro-batch).  Instead each delta writes its exploded rows into its
-    # OWN partition, keyed deterministically by the delta's composite ids:
-    # a replayed micro-batch recomputes the same key and dynamic partition
-    # overwrite replaces exactly that partition — idempotent at O(delta).
-    bfp = delta_identity.agg(
-        F.count(F.lit(1)).alias("n"),
-        # bit_xor: order-independent and overflow-free (ANSI mode makes a
-        # long sum of hashes throw on overflow)
-        F.expr("bit_xor(xxhash64(file_id, file_id2))").alias("h"),
-    ).first()
-    batch_key = f"b_{bfp['n']}_{(bfp['h'] or 0) & 0xFFFFFFFFFFFFFFFF:x}"
-
-    delta_index = shingle_inverted_index(delta_sigs)
+    # OWN partition, keyed by `batch_key` (derived from the RAW batch, so
+    # replays recompute it identically): a replayed micro-batch
+    # dynamic-overwrites exactly that partition — idempotent at O(delta).
+    # The recovery path for a batch whose identity append was PARTIAL is
+    # below at the persist step.
+    delta_index = shingle_inverted_index(delta_sigs).localCheckpoint()
     # union for THIS fold's reads: stored partitions except a half-written
-    # copy of this very batch (crash window: index written, identity not),
-    # plus the in-memory delta rows — exact in every replay window
+    # copy of this very batch (crash window: index written, identity not —
+    # in that window the crashed attempt already committed this batch's
+    # edges, which the fold unions in via prior_edges, so excluding its
+    # index partition here loses nothing), plus the in-memory delta rows
     union_index = (
         spark.read.format(table_format)
         .load(index_path)
@@ -367,15 +437,38 @@ def incremental_dedup_update(
     # index rows land in this batch's own partition (see batch_key above);
     # dynamic overwrite touches only partitions present in the data, so an
     # empty replay delta writes nothing and a crashed half-write is replaced
-    # wholesale on the next replay
-    (
-        delta_index.withColumn("ingest_batch", F.lit(batch_key))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch")
-        .format(table_format)
-        .save(index_path)
-    )
+    # wholesale on the next replay.  The partition path is only valid when
+    # this fold's delta covers the WHOLE raw batch — after a crash mid-way
+    # through the identity append, the replay's delta shrinks to the
+    # not-yet-committed rows, and overwriting the partition with just those
+    # would drop the committed rows' index entries.  On that recovery-only
+    # path fall back to a dst-guarded append (the crashed attempt wrote the
+    # index before identity, so the guard almost always appends nothing; an
+    # O(index) scan is acceptable for crash recovery, not per fold).
+    if clean_first_attempt:
+        (
+            delta_index.withColumn("ingest_batch", F.lit(batch_key))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .format(table_format)
+            .save(index_path)
+        )
+    else:
+        existing_dst = (
+            spark.read.format(table_format)
+            .load(index_path)
+            .select("dst")
+            .distinct()
+        )
+        (
+            delta_index.join(existing_dst, "dst", "left_anti")
+            .withColumn("ingest_batch", F.lit(batch_key + "_r"))
+            .write.mode("append")
+            .partitionBy("ingest_batch")
+            .format(table_format)
+            .save(index_path)
+        )
 
     def _append_absent(df: DataFrame, name: str, keys: list[str]) -> None:
         existing = (
