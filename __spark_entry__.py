@@ -274,7 +274,17 @@ def _quantizer_path(emb, sf_dir):
     table, not just its location: regenerated test data must never silently
     reuse centroids fit on the old corpus (stale cells = degraded recall with
     no warning).  One cheap agg — count + a hash folding ids and a value
-    probe — scoped to the table the quantizer was fit on."""
+    probe — scoped to the table the quantizer was fit on.
+
+    The path lives under the checkpoint-store root (SPARK_GRAFT_CKPT_DIR, or
+    a process-stable tmp default) via ivf.quantizer_store_path — the same
+    surface every other stage table uses, so on a cluster the quantizer is a
+    shared-filesystem stage table, not a per-node /tmp artifact."""
+    import os
+    import tempfile
+
+    from cloud_dedup_spark.operators.ivf import quantizer_store_path
+
     fp = emb.agg(
         F.count(F.lit(1)).alias("n"),
         # bit_xor: order-independent, no ANSI long-sum overflow; NULL (and
@@ -285,7 +295,11 @@ def _quantizer_path(emb, sf_dir):
     ).first()
     tag = sf_dir.rstrip("/").replace("/", "_")
     h = (fp["h"] or 0) & 0xFFFFFFFF
-    return f"/tmp/cloud_dedup_ivf_quantizer{tag}_16_42_{fp['n']}_{h:x}"
+    base = os.environ.get(
+        "SPARK_GRAFT_CKPT_DIR",
+        os.path.join(tempfile.gettempdir(), "cloud_dedup_ckpt"),
+    )
+    return quantizer_store_path(base, f"{tag}_16_42_{fp['n']}_{h:x}")
 
 
 def q_ann_topk_ivf(spark, sf_dir):

@@ -52,6 +52,43 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def _calibrate(spark, cpus: int) -> dict:
+    """In-band host/Spark window probes (round-3 verdict item 3).
+
+    BENCH_r03's headline landed in a degraded host window (±4× swings on
+    unchanged code, BENCH/ANALYSIS.md) and nothing in the artifact itself
+    said so.  These two probes — a no-Spark busy loop at the bench's
+    concurrency and a pure-codegen sha2 job in the live session — are
+    load-invariant software-wise, so their absolute seconds calibrate the
+    window: compare them across rounds before reading any query delta.
+    Run once before and once after the timed section (the contamination
+    observed in round 3 drifted over ~90 minutes)."""
+    import multiprocessing
+
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    with multiprocessing.Pool(cpus) as p:
+        p.map(_burn, [20_000_000] * cpus)
+    busy = round(time.time() - t0, 3)
+
+    df = spark.range(30_000_000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("h")
+    )
+    _force(df)  # JIT warm
+    t0 = time.time()
+    _force(df)
+    codegen = round(time.time() - t0, 3)
+    return {"busy_loop_sec": busy, "codegen_sha2_sec": codegen}
+
+
 def main() -> None:
     # bench sessions opt into the measurement-grade config regardless of the
     # caller's environment: pre-sized heap and tmpfs shuffle scratch (its
@@ -78,6 +115,7 @@ def main() -> None:
         queries = entrymod.queries()
         # JVM/codegen warm-up so the first timed query isn't charged for it
         _force(queries["lineitem_pricing"](spark, sf_dir))
+        calib_pre = _calibrate(spark, cpus)
         timings: dict[str, float] = {}
         only_pipeline = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
         # best-of-2 per query: single-shot headline numbers on this shared
@@ -155,6 +193,7 @@ def main() -> None:
         shutil.rmtree(ckpt_base, ignore_errors=True)
         timings["dedup_pipeline"] = pipe_sec
 
+        calib_post = _calibrate(spark, cpus)
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -167,6 +206,12 @@ def main() -> None:
                     "files_per_sec": round(n_files / pipe_sec, 1),
                     "bench_files": n_files,
                     "parallelism": cpus,
+                    # window self-calibration (pre/post the timed section):
+                    # absolute probe seconds comparable across rounds — if
+                    # these drift vs prior BENCH_rN, the window was degraded
+                    # and query deltas are host noise, not code (round-3
+                    # verdict item 3; BENCH/ANALYSIS.md has the evidence)
+                    "calibration": {"pre": calib_pre, "post": calib_post},
                 }
             )
         )

