@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from cloud_dedup_spark.config import DedupConfig
 
 
-def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    small_pairs: bool = False,
+) -> DataFrame:
     """Score candidate pairs; keep all with scores, flag accepted ones.
 
     Output: src, dst, jaccard, hamming, match_kind ('near' | 'none'),
@@ -35,25 +40,38 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig) -> DataFra
     with Jaccard ≥ τ/2 (the SimHash channel catches token-frequency-preserving
     edits that shingle Jaccard underrates; the Jaccard floor stops
     boilerplate-only pairs from sneaking through on fingerprint luck).
+
+    ``small_pairs``: the caller asserts the pair set is bounded and small
+    (the incremental fold: pairs are delta-anchored).  The semi-filter and
+    both equi-joins are then broadcast-hinted at PLAN time, so the wide
+    signature table is never exchanged — AQE would pick broadcast joins
+    anyway, but only after materializing the corpus-sized sigs exchange to
+    measure it, an O(corpus) shuffle write per call (measured: 3.4 MB/fold
+    at a 1.2k-file corpus, the fold's largest shuffle; pinned by
+    tests/test_incremental.py::test_fold_shuffle_stays_flat_as_corpus_grows).
     """
     # candidate pairs touch a small fraction of files — semi-filter the wide
     # signature table (shingle arrays dominate its bytes) down to paired ids
     # BEFORE the equi-joins, so only the filtered slice shuffles (measured:
     # shuffling the full array column twice was the stage's main cost)
-    # No explicit broadcast hint: paired_ids scales with the corpus (every
-    # file in any LSH bucket of size >= 2), so forcing a broadcast OOMs the
-    # driver at 10^9 files.  AQE picks a broadcast semi-join when the id set
-    # is below spark.sql.autoBroadcastJoinThreshold and falls back to a
-    # shuffled semi-join when it isn't — both plans keep the wide shingle
-    # column on the streamed side only.
+    # No explicit broadcast hint by default: paired_ids scales with the
+    # corpus (every file in any LSH bucket of size >= 2), so forcing a
+    # broadcast OOMs the driver at 10^9 files.  AQE picks a broadcast
+    # semi-join when the id set is below autoBroadcastJoinThreshold and
+    # falls back to a shuffled semi-join when it isn't — both plans keep
+    # the wide shingle column on the streamed side only.
     paired_ids = (
         pairs.select(F.col("src").alias("file_id"))
         .unionByName(pairs.select(F.col("dst").alias("file_id")))
         .distinct()
     )
+    if small_pairs:
+        paired_ids = F.broadcast(paired_ids)
     side = sigs.select("file_id", "shingles", "simhash").join(
         paired_ids, "file_id", "left_semi"
     )
+    if small_pairs:
+        side = F.broadcast(side)
     a = side.select(
         F.col("file_id").alias("src"),
         F.col("shingles").alias("sh_a"),

@@ -24,13 +24,81 @@ from pyspark.sql import SparkSession
 
 # tables the incremental path appends to (cluster_labels/edges are rewritten
 # whole each update, so they never fragment)
-APPEND_TABLES = ("identity", "signatures", "norm", "bands", "shingle_index")
+APPEND_TABLES = (
+    "identity", "signatures", "norm", "bands", "anchors", "quarantine",
+    "shingle_index",
+)
 
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def repair_swap(spark: SparkSession, path: str, suffix: str = ".swap") -> None:
+    """Entry repair for the two-rename swap protocol (run BEFORE reading).
+
+    A crash between the two renames leaves the data parked at
+    ``<path><suffix>.old`` with the main path missing — rename it back.  A
+    crash after the second rename but before cleanup leaves a stale full
+    copy at ``.old`` — drop it.  A stale ``.tmp`` is always safe to drop
+    (the swap re-writes it from scratch).
+    """
+    fs, hpath, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    old_p, tmp_p = P(f"{path}{suffix}.old"), P(f"{path}{suffix}.tmp")
+    if not fs.exists(hpath) and fs.exists(old_p):
+        if not fs.rename(old_p, hpath):
+            raise IOError(f"swap crash repair failed for {path}")
+    elif fs.exists(hpath):
+        fs.delete(old_p, True)
+    fs.delete(tmp_p, True)
+
+
+def swap_overwrite(
+    spark: SparkSession,
+    df,
+    path: str,
+    table_format: str = "parquet",
+    suffix: str = ".swap",
+    partition_by: str | None = None,
+) -> None:
+    """Atomically replace a table with ``df`` — safe when ``df`` READS the
+    table it replaces.
+
+    Spark's ``mode("overwrite")`` deletes the target before writing, so a
+    self-referential rewrite loses data, and materializing the frame first
+    (localCheckpoint) holds the whole table in executor memory — O(corpus)
+    per call, the exact cost the incremental fold exists to avoid.  Instead:
+    stream df → ``<path><suffix>.tmp`` (main still readable), then swap via
+    two renames with :func:`repair_swap` covering every crash window (the
+    same discipline as compaction below; Iceberg's snapshot commit is the
+    cluster-native equivalent behind the same table_format switch).
+    """
+    tmp, old = f"{path}{suffix}.tmp", f"{path}{suffix}.old"
+    fs, hpath, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(tmp), True)
+    w = df.write.mode("overwrite").format(table_format)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.save(tmp)
+    fs.delete(P(old), True)
+    if fs.exists(hpath) and not fs.rename(hpath, P(old)):
+        raise IOError(f"swap failed for {path} (main → .old)")
+    if not fs.rename(P(tmp), hpath):
+        # roll back so the table never disappears; if even the rollback
+        # rename fails, fail LOUD with the recovery path — repair_swap also
+        # restores from .old on the next run
+        if fs.exists(P(old)) and not fs.rename(P(old), hpath):
+            raise IOError(
+                f"swap rollback ALSO failed for {path}; data is intact at "
+                f"{old} — rename it back manually or rerun (entry repair "
+                f"restores it)"
+            )
+        raise IOError(f"swap failed for {path} (.tmp → main)")
+    fs.delete(P(old), True)
 
 
 def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -65,6 +133,8 @@ def compact_stage_tables(
     Returns {table: {"files_before": n, "files_after": m, "bytes": b}} for
     the tables that were rewritten.
     """
+    from pyspark.sql import functions as F
+
     loc = checkpoint_dir.rstrip("/")
     report: dict = {}
     for name in tables:
@@ -73,18 +143,7 @@ def compact_stage_tables(
         # renames leaves the data parked in <table>.compact.old with the
         # main path missing — without this, the next run would see
         # n_files == 0, skip, and the table would be silently lost forever
-        fs, hpath, jvm = _fs(spark, path)
-        P = jvm.org.apache.hadoop.fs.Path
-        old_p, tmp_p = P(f"{path}.compact.old"), P(f"{path}.compact.tmp")
-        if not fs.exists(hpath) and fs.exists(old_p):
-            if not fs.rename(old_p, hpath):
-                raise IOError(f"crash repair failed for {path}")
-        elif fs.exists(hpath):
-            # crash AFTER the tmp→main rename but before the .old cleanup
-            # leaves a full stale copy behind — drop it here so it cannot
-            # linger for the lifetime of a rarely-fragmenting table
-            fs.delete(old_p, True)
-        fs.delete(tmp_p, True)  # a stale tmp is always safe to drop
+        repair_swap(spark, path, suffix=".compact")
         n_files, total = _dir_stats(spark, path)
         if n_files == 0:
             continue
@@ -92,8 +151,6 @@ def compact_stage_tables(
         if n_files <= max(min_files, want):
             continue
         df = spark.read.parquet(path)
-        tmp = f"{path}.compact.tmp"
-        old = f"{path}.compact.old"
         # coalesce, not repartition: compaction must not shuffle the data it
         # rewrites — each output task concatenates whole input files.
         # Batch-partitioned tables (shingle_index writes one partition per
@@ -101,42 +158,58 @@ def compact_stage_tables(
         # the layout stays partitioned and future per-batch dynamic
         # overwrites keep working; their rows are also DE-DUPLICATED here
         # (index rows are unique by construction — (dst, sh) per doc — so a
-        # full-row distinct only removes crash artifacts, e.g. a batch that
-        # replayed after its partition was folded away).  That dedup is the
-        # one shuffle compaction performs, and it makes the index
-        # self-healing: run compaction while ingest is drained AND the last
-        # batch's identity append committed; if that discipline is ever
-        # violated, the duplicate rows it can create are removed by the
-        # next compaction instead of accumulating.
+        # full-row distinct only removes crash artifacts).  That dedup is
+        # the one shuffle compaction performs, and it makes the index
+        # self-healing: duplicate rows from a violated write discipline are
+        # removed by the next compaction instead of accumulating.
         if "ingest_batch" in df.columns:
-            from pyspark.sql import functions as F
-
-            (
-                df.drop("ingest_batch")
+            # live-ingest guard (round-4): a batch partition whose fold has
+            # NOT reached its identity commit yet is still subject to a
+            # replay's per-partition dynamic overwrite — folding it into
+            # `compacted` would strand a stale copy the replay cannot
+            # replace (duplicated rows until the next self-healing dedup).
+            # In-flight detection is observational, not a lock: a partition
+            # is in-flight iff it carries a key (dst = file_id) absent from
+            # the committed identity table; those partitions are carried
+            # through compaction byte-identical, under their own names.
+            inflight: list[str] = []
+            id_fs, id_hpath, _ = _fs(spark, f"{loc}/identity")
+            if "dst" in df.columns and id_fs.exists(id_hpath):
+                ids = (
+                    spark.read.parquet(f"{loc}/identity")
+                    .select(F.col("file_id").alias("dst"))
+                    .distinct()
+                )
+                inflight = [
+                    r["ingest_batch"]
+                    for r in df.join(ids, "dst", "left_anti")
+                    .select("ingest_batch")
+                    .distinct()
+                    .collect()
+                ]
+            committed = (
+                df.filter(~F.col("ingest_batch").isin(inflight))
+                if inflight
+                else df
+            )
+            out = (
+                committed.drop("ingest_batch")
                 .dropDuplicates()
                 .withColumn("ingest_batch", F.lit("compacted"))
                 .coalesce(want)
-                .write.mode("overwrite")
-                .partitionBy("ingest_batch")
-                .parquet(tmp)
+            )
+            if inflight:
+                out = out.unionByName(
+                    df.filter(F.col("ingest_batch").isin(inflight))
+                )
+            swap_overwrite(
+                spark, out, path, suffix=".compact",
+                partition_by="ingest_batch",
             )
         else:
-            df.coalesce(want).write.mode("overwrite").parquet(tmp)
-        fs.delete(P(old), True)
-        if not fs.rename(hpath, P(old)):
-            raise IOError(f"compaction swap failed for {path}")
-        if not fs.rename(P(tmp), hpath):
-            # roll back so the table never disappears; if even the rollback
-            # rename fails, fail LOUD with the recovery path — the entry
-            # repair above also restores from .compact.old on the next run
-            if not fs.rename(P(old), hpath):
-                raise IOError(
-                    f"compaction rollback ALSO failed for {path}; data is "
-                    f"intact at {old} — rename it back manually or rerun "
-                    f"compact_stage_tables (entry repair restores it)"
-                )
-            raise IOError(f"compaction swap failed for {path}")
-        fs.delete(P(old), True)
+            swap_overwrite(
+                spark, df.coalesce(want), path, suffix=".compact"
+            )
         after, _ = _dir_stats(spark, path)
         report[name] = {
             "files_before": n_files,

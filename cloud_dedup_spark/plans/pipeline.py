@@ -149,7 +149,14 @@ def run_pipeline(
     # graph stages, so a birthday collision (E ≈ 27k pairs at 10^12 files)
     # can never silently merge two unrelated files into one cluster node.
     # Quarantined files re-enter the output as flagged singletons.
-    clean_identity, quarantined = quarantine_id_collisions(identity)
+    clean_identity, quarantined_split = quarantine_id_collisions(identity)
+    # quarantine is PERSISTED state (round-4): the incremental fold's
+    # collision check is delta-anchored — it inspects only identity rows
+    # sharing a delta file_id — which is sound only if every collision among
+    # prior rows is already on record.  This table is that record (tiny by
+    # construction: E ≈ 27k colliding pairs at 10^12 files, so it broadcasts
+    # everywhere it is used).
+    quarantined = stage("quarantine", lambda: quarantined_split)
 
     exact = stage("exact", lambda: exact_duplicate_clusters(clean_identity))
 
@@ -183,6 +190,15 @@ def run_pipeline(
     # LSH stage reads it twice (bucket sizes, bucket build); 16 B/row beats
     # re-exploding the shingle-bearing signature rows on each pass.
     bands = stage("bands", lambda: explode_bands(sigs))
+
+    # anchors: each needle's K candidate substring anchors, persisted so the
+    # incremental fold's reverse channel (old needle in NEW haystack) scans
+    # this narrow table instead of re-exploding the union's signature rows
+    # per delta (round-4; operators/substring.candidate_anchors).  Written
+    # unfiltered — the cfg-dependent cuts apply at read time.
+    from cloud_dedup_spark.operators.substring import candidate_anchors
+
+    anchors = stage("anchors", lambda: candidate_anchors(sigs))
 
     verified = stage(
         "candidate_edges",
@@ -226,10 +242,12 @@ def run_pipeline(
 
     return {
         "identity": identity,
+        "quarantine": quarantined,
         "exact": exact,
         "norm": norm,
         "signatures": sigs,
         "bands": bands,
+        "anchors": anchors,
         "candidate_edges": verified,
         "substring_edges": sub_edges,
         "edges": edges,
