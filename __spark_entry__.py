@@ -122,6 +122,62 @@ def q_prefix_fp_groups(spark, sf_dir):
     return prefix_fingerprint_groups(_t(spark, sf_dir, "documents"), k=10)
 
 
+def q_substring_doc_pairs(spark, sf_dir):
+    """PRODUCTION substring channel (rarest-anchor candidates over the
+    shingle inverted index + exact verbatim verification,
+    operators/substring.py — reference analog: the containment pass the
+    suffix-array stage covers) on the documents table, hash-checked against
+    DuckDB's naive all-pairs contains() on identically normalized text.
+    Haystacks are planted by concatenating adjacent docs with the IDENTICAL
+    expression on both engines; the natural corpus contributes additional
+    true containments.  Equality holds because every needle here is
+    distinctive (rarest-anchor df ≪ cap) and ≥ min_tokens, so the
+    candidate-generation heuristics are recall-lossless on this input —
+    the pytest suite covers the capped/dropped-needle cases DuckDB cannot
+    express."""
+    from cloud_dedup_spark.config import DedupConfig
+    from cloud_dedup_spark.functions.normalize import with_identity
+    from cloud_dedup_spark.operators.signatures import compute_signatures
+    from cloud_dedup_spark.operators.substring import substring_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("lang").alias("a_lang"),
+    )
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    hay = a.join(b, F.col("a_id") + 1 == F.col("b_id")).select(
+        (F.col("a_id") + 2000000).alias("doc_id"),
+        F.concat("a_text", F.lit("\n\n"), "b_text").alias("text"),
+        F.col("a_lang").alias("lang"),
+        F.lit("planted_hay").alias("source"),
+        F.length(F.concat("a_text", F.lit("\n\n"), "b_text")).alias("n_chars"),
+    )
+    all_docs = docs.unionByName(hay)
+    cfg = DedupConfig()
+    ident = with_identity(documents_as_files(all_docs))
+    edges = substring_edges(ident, compute_signatures(ident, cfg), cfg)
+    ids = ident.select(
+        "file_id", F.expr("cast(substring(path, 5) as bigint)").alias("doc")
+    )
+    return (
+        edges.join(
+            ids.select(F.col("file_id").alias("src"), F.col("doc").alias("sdoc")),
+            "src",
+        )
+        .join(
+            ids.select(F.col("file_id").alias("dst"), F.col("doc").alias("ddoc")),
+            "dst",
+        )
+        .select(
+            F.least("sdoc", "ddoc").alias("doc_a"),
+            F.greatest("sdoc", "ddoc").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     # df_cap bounds per-gram join fan-out to cap² (boilerplate guard); the
     # DuckDB oracle applies the identical cap, so the hash stays exact.
@@ -357,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_text_dupes": q_exact_text_dupes,
         "prefix_fp_groups": q_prefix_fp_groups,
+        "substring_doc_pairs": q_substring_doc_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "text_profile": q_text_profile,
         "source_overlap": q_source_overlap,
@@ -403,6 +460,38 @@ _ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1
         HAVING count(*) >= 2
+    """,
+    # naive all-pairs containment twin of the anchor-indexed production
+    # operator: identical normalization chain (lower → strip /* */ and
+    # #/// line comments → collapse ws → trim; RE2 inline flags mirror the
+    # Java (?s)/(?m) semantics), identical haystack planting, char-strict
+    # length inequality == the operator's token-strict one (containment at
+    # equal token count forces string equality)
+    "substring_doc_pairs": r"""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT a.doc_id + 2000000 AS doc_id,
+                 a.text || chr(10) || chr(10) || b.text AS text
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 101 = 0
+        ), norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(regexp_replace(
+                      lower(text),
+                      '(?s)/\*.*?\*/', ' ', 'g'),
+                      '(?m)(#|//).*$', ' ', 'g'),
+                      '\s+', ' ', 'g')) AS t
+          FROM all_docs
+        )
+        SELECT LEAST(n.doc_id, h.doc_id) AS doc_a,
+               GREATEST(n.doc_id, h.doc_id) AS doc_b
+        FROM norm n JOIN norm h
+          ON n.doc_id <> h.doc_id
+         AND length(n.t) >= 64
+         AND length(n.t) < length(h.t)
+         AND position(n.t IN h.t) > 0
+        GROUP BY 1, 2
     """,
     "ngram_jaccard_pairs": """
         WITH toks AS (

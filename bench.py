@@ -38,6 +38,7 @@ HEADLINE = (
     "events_rollup",
     "text_profile",
     "prefix_fp_groups",
+    "substring_doc_pairs",
     "ngram_jaccard_pairs",
     "unique_docs",
     "ann_topk",
@@ -83,9 +84,15 @@ def _calibrate(spark, cpus: int) -> dict:
         F.sha2(F.col("id").cast("string"), 256).alias("h")
     )
     _force(df)  # JIT warm
-    t0 = time.time()
-    _force(df)
-    codegen = round(time.time() - t0, 3)
+    codegen = float("inf")
+    # min-of-2: one timed run can eat a transient stall (a 106 s outlier was
+    # observed right at session start against 0.49 s steady-state) and then
+    # misreport the whole window as degraded; sustained degradation still
+    # shows in both runs
+    for _ in range(2):
+        t0 = time.time()
+        _force(df)
+        codegen = min(codegen, round(time.time() - t0, 3))
     return {"busy_loop_sec": busy, "codegen_sha2_sec": codegen}
 
 
@@ -113,8 +120,14 @@ def main() -> None:
     )
     try:
         queries = entrymod.queries()
-        # JVM/codegen warm-up so the first timed query isn't charged for it
-        _force(queries["lineitem_pricing"](spark, sf_dir))
+        only_pipeline_warm = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
+        # Full untimed warm pass over the headline list: a fresh 48 GB JVM
+        # runs ~6-14× slow for its first minute or two (heap growth + JIT;
+        # the pre/post calibration pair below showed 6.7 s vs 0.47 s for the
+        # same probe), and with only a single-query warm-up that cold window
+        # was charged to whichever queries ran first.
+        for name in () if only_pipeline_warm else HEADLINE:
+            _force(queries[name](spark, sf_dir))
         calib_pre = _calibrate(spark, cpus)
         timings: dict[str, float] = {}
         only_pipeline = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
