@@ -203,8 +203,33 @@ def main() -> None:
             del res
             gc.collect()
             spark._jvm.System.gc()
-        shutil.rmtree(ckpt_base, ignore_errors=True)
+        # the last repeat's checkpoint is kept: the fold below ingests into it
         timings["dedup_pipeline"] = pipe_sec
+
+        # incremental fold throughput: the O(delta) path folding a 1% delta
+        # into the checkpoint the last pipeline repeat left behind.  Paths
+        # are prefixed so natural keys never collide with the base corpus
+        # (a colliding key would be dropped by the fold's idempotency guard
+        # and the measurement would silently shrink).
+        from pyspark.sql import functions as _F
+
+        from cloud_dedup_spark.streaming.incremental import (
+            incremental_dedup_update,
+        )
+
+        delta_n = max(1_000, bench_files // 100)
+        delta = bench_corpus_df(spark, delta_n, seed=4242).withColumn(
+            "path", _F.concat(_F.lit("inc/"), _F.col("path"))
+        ).localCheckpoint()  # materialize: generation is not the fold
+        t0 = time.time()
+        inc = incremental_dedup_update(spark, delta, ckpt_base)
+        fold_sec = round(time.time() - t0, 3)
+        # n_delta should equal delta_n (unique prefixed keys); a shortfall
+        # means key collisions shrank the fold — flag, don't crash the bench
+        if inc["n_delta"] != delta_n:
+            print(f"WARNING: fold ingested {inc['n_delta']}/{delta_n} rows")
+        timings["incremental_fold"] = fold_sec
+        shutil.rmtree(ckpt_base, ignore_errors=True)
 
         calib_post = _calibrate(spark, cpus)
         total = round(sum(timings.values()), 3)
@@ -217,6 +242,8 @@ def main() -> None:
                     "queries": timings,
                     "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                     "files_per_sec": round(n_files / pipe_sec, 1),
+                    "fold_files_per_sec": round(delta_n / fold_sec, 1),
+                    "fold_delta_files": delta_n,
                     "bench_files": n_files,
                     "parallelism": cpus,
                     # window self-calibration (pre/post the timed section):
