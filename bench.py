@@ -120,17 +120,16 @@ def main() -> None:
     )
     try:
         queries = entrymod.queries()
-        only_pipeline_warm = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
+        only_pipeline = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
         # Full untimed warm pass over the headline list: a fresh 48 GB JVM
         # runs ~6-14× slow for its first minute or two (heap growth + JIT;
         # the pre/post calibration pair below showed 6.7 s vs 0.47 s for the
         # same probe), and with only a single-query warm-up that cold window
         # was charged to whichever queries ran first.
-        for name in () if only_pipeline_warm else HEADLINE:
+        for name in () if only_pipeline else HEADLINE:
             _force(queries[name](spark, sf_dir))
         calib_pre = _calibrate(spark, cpus)
         timings: dict[str, float] = {}
-        only_pipeline = os.environ.get("BENCH_ONLY_PIPELINE") == "1"
         # best-of-2 per query: single-shot headline numbers on this shared
         # box swing ±30% with neighbor load (a round-3 preview measured the
         # embedding queries 3-4× slower inside one bad window than in
@@ -221,6 +220,16 @@ def main() -> None:
         delta = bench_corpus_df(spark, delta_n, seed=4242).withColumn(
             "path", _F.concat(_F.lit("inc/"), _F.col("path"))
         ).localCheckpoint()  # materialize: generation is not the fold
+        # untimed bootstrap fold: the FIRST fold on a batch-pipeline
+        # checkpoint pays the one-time O(corpus) shingle_index build (the
+        # batch pipeline keeps no inverted index); timing that would report
+        # corpus index construction as "fold throughput".  A 1-file fold
+        # triggers the bootstrap so the timed fold below is the steady-state
+        # O(delta) path.
+        boot = bench_corpus_df(spark, 1, seed=555).withColumn(
+            "path", _F.concat(_F.lit("boot/"), _F.col("path"))
+        )
+        incremental_dedup_update(spark, boot, ckpt_base)
         t0 = time.time()
         inc = incremental_dedup_update(spark, delta, ckpt_base)
         fold_sec = round(time.time() - t0, 3)

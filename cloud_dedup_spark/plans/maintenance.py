@@ -10,17 +10,93 @@ operation: coalesce each table back to ~target-sized files, atomically.
 
 Atomicity on a filesystem without transactions: write the compacted copy to
 `<table>.compact.tmp`, then swap via two renames (table → .old, tmp → table)
-and drop the old directory.  A reader racing the swap can lose — acceptable
-for a maintenance window, documented; Iceberg's snapshot-based rewrite is
-the concurrent-safe variant on clusters (same writer surface,
-table_format='iceberg').
+and drop the old directory.  Writer races are closed observationally: the
+compaction pins its read to an explicit snapshot listing, persists that
+listing as a manifest inside the new copy, and anything found in `.old`
+that the manifest does not cover — an append or deterministic partition
+replay that landed while the rewrite ran — is moved into the new table
+instead of deleted (crash-resumable via the same manifest in repair_swap).
+A READER racing the swap can still observe a transient missing-file error
+between the two renames — acceptable for a maintenance operation,
+documented; Iceberg's snapshot-based rewrite is the fully concurrent-safe
+variant on clusters (same writer surface, table_format='iceberg').
 """
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import SparkSession
+
+# driver-side snapshot manifest written into the compacted copy: the exact
+# top-level children (data files, or partition dirs for partitioned tables)
+# the compaction read.  Anything found in `.old` after the swap that is NOT
+# in the manifest was written concurrently during the compaction and is
+# restored instead of deleted — see _restore_unlisted.
+_MANIFEST = "_compact_manifest.json"
+
+
+def _list_children(fs, jvm, path: str) -> list[str]:
+    """Top-level data children of a table dir (files or partition dirs),
+    skipping markers (_SUCCESS, the manifest) and hidden entries."""
+    P = jvm.org.apache.hadoop.fs.Path
+    hpath = P(path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(name)
+    return out
+
+
+def _write_manifest(fs, jvm, table_path: str, names: list[str]) -> None:
+    P = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(P(f"{table_path}/{_MANIFEST}"), True)
+    out.write(bytearray(json.dumps(sorted(names)).encode("utf-8")))
+    out.close()
+
+
+def _read_manifest(fs, jvm, table_path: str) -> set[str] | None:
+    P = jvm.org.apache.hadoop.fs.Path
+    p = P(f"{table_path}/{_MANIFEST}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return set(json.loads(data.decode("utf-8")))
+
+
+def _restore_unlisted(fs, jvm, path: str, old: str) -> None:
+    """Move every `.old` child that is neither in the new table's manifest
+    nor already present in the table back into the table, then drop `.old`.
+
+    The manifest pins exactly what the compaction read, so a child missing
+    from it is a concurrent write (a fold's append or a replay's partition
+    overwrite) that raced the swap — restoring errs toward keeping data and
+    can never duplicate rows, because the compacted output was built from
+    the manifest listing only."""
+    P = jvm.org.apache.hadoop.fs.Path
+    manifest = _read_manifest(fs, jvm, path)
+    if manifest is None:
+        manifest = set()
+    for name in _list_children(fs, jvm, old):
+        if name in manifest:
+            continue
+        dst = P(f"{path}/{name}")
+        if fs.exists(dst):
+            continue
+        if not fs.rename(P(f"{old}/{name}"), dst):
+            raise IOError(
+                f"restore of concurrently-written {name} from {old} failed"
+            )
+    fs.delete(P(old), True)
 
 # tables the incremental path appends to (cluster_labels/edges are rewritten
 # whole each update, so they never fragment)
@@ -40,19 +116,31 @@ def repair_swap(spark: SparkSession, path: str, suffix: str = ".swap") -> None:
     """Entry repair for the two-rename swap protocol (run BEFORE reading).
 
     A crash between the two renames leaves the data parked at
-    ``<path><suffix>.old`` with the main path missing — rename it back.  A
-    crash after the second rename but before cleanup leaves a stale full
-    copy at ``.old`` — drop it.  A stale ``.tmp`` is always safe to drop
-    (the swap re-writes it from scratch).
+    ``<path><suffix>.old`` with the main path missing — rename it back
+    (concurrent writes that raced the crashed swap are inside ``.old`` too,
+    so nothing is lost).  A crash after the second rename but before cleanup
+    leaves a stale full copy at ``.old``: if the new table carries a
+    compaction manifest, finish the concurrent-write restore
+    (:func:`_restore_unlisted`, idempotent); otherwise drop ``.old``.  A
+    stale ``.tmp`` is always safe to drop (the swap re-writes it from
+    scratch).
     """
     fs, hpath, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    old_p, tmp_p = P(f"{path}{suffix}.old"), P(f"{path}{suffix}.tmp")
+    old, tmp = f"{path}{suffix}.old", f"{path}{suffix}.tmp"
+    old_p, tmp_p = P(old), P(tmp)
     if not fs.exists(hpath) and fs.exists(old_p):
         if not fs.rename(old_p, hpath):
             raise IOError(f"swap crash repair failed for {path}")
-    elif fs.exists(hpath):
-        fs.delete(old_p, True)
+    elif fs.exists(hpath) and fs.exists(old_p):
+        if _read_manifest(fs, jvm, path) is not None:
+            _restore_unlisted(fs, jvm, path, old)
+        else:
+            fs.delete(old_p, True)
+    if fs.exists(hpath):
+        # a manifest with no `.old` left is a completed (or just-finished)
+        # restore whose final cleanup was interrupted — always safe to drop
+        fs.delete(P(f"{path}/{_MANIFEST}"), False)
     fs.delete(tmp_p, True)
 
 
@@ -63,6 +151,7 @@ def swap_overwrite(
     table_format: str = "parquet",
     suffix: str = ".swap",
     partition_by: str | None = None,
+    snapshot: list[str] | None = None,
 ) -> None:
     """Atomically replace a table with ``df`` — safe when ``df`` READS the
     table it replaces.
@@ -75,6 +164,14 @@ def swap_overwrite(
     two renames with :func:`repair_swap` covering every crash window (the
     same discipline as compaction below; Iceberg's snapshot commit is the
     cluster-native equivalent behind the same table_format switch).
+
+    ``snapshot``: the top-level children (data files / partition dirs) that
+    ``df`` was pinned to read.  When given, it is persisted as a manifest
+    inside the new copy and every ``.old`` child NOT in it — i.e. written
+    concurrently while the rewrite ran — is moved into the new table instead
+    of deleted, making the swap lose nothing under concurrent appends or
+    deterministic partition replays.  Callers that are the table's only
+    writer (the fold's edges/cluster_labels rewrites) omit it.
     """
     tmp, old = f"{path}{suffix}.tmp", f"{path}{suffix}.old"
     fs, hpath, jvm = _fs(spark, path)
@@ -84,6 +181,11 @@ def swap_overwrite(
     if partition_by:
         w = w.partitionBy(partition_by)
     w.save(tmp)
+    if snapshot is not None:
+        # manifest travels inside the new copy so a crash after the second
+        # rename still knows what the rewrite read (repair_swap finishes the
+        # restore from it)
+        _write_manifest(fs, jvm, tmp, snapshot)
     fs.delete(P(old), True)
     if fs.exists(hpath) and not fs.rename(hpath, P(old)):
         raise IOError(f"swap failed for {path} (main → .old)")
@@ -98,7 +200,11 @@ def swap_overwrite(
                 f"restores it)"
             )
         raise IOError(f"swap failed for {path} (.tmp → main)")
-    fs.delete(P(old), True)
+    if snapshot is not None and fs.exists(P(old)):
+        _restore_unlisted(fs, jvm, path, old)
+        fs.delete(P(f"{path}/{_MANIFEST}"), False)
+    else:
+        fs.delete(P(old), True)
 
 
 def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -150,7 +256,24 @@ def compact_stage_tables(
         want = max(1, math.ceil(total / target_file_bytes))
         if n_files <= max(min_files, want):
             continue
-        df = spark.read.parquet(path)
+        # pin the read to an explicit snapshot listing: Spark lists the
+        # directory lazily at write time, so an unpinned self-read would
+        # absorb files appended DURING the compaction into the rewrite while
+        # the swap deletes their originals with `.old` — with the pin, a
+        # concurrent append is provably not in the output and the manifest
+        # restore (swap_overwrite) moves it into the new table afterwards
+        fs, _, jvm = _fs(spark, path)
+        snapshot = _list_children(fs, jvm, path)
+        part_dirs = [c for c in snapshot if c.startswith("ingest_batch=")]
+        if part_dirs:
+            from urllib.parse import unquote
+
+            vals = [unquote(c.split("=", 1)[1]) for c in part_dirs]
+            df = spark.read.parquet(path).filter(
+                F.col("ingest_batch").isin(vals)
+            )
+        else:
+            df = spark.read.parquet(*[f"{path}/{c}" for c in snapshot])
         # coalesce, not repartition: compaction must not shuffle the data it
         # rewrites — each output task concatenates whole input files.
         # Batch-partitioned tables (shingle_index writes one partition per
@@ -204,11 +327,12 @@ def compact_stage_tables(
                 )
             swap_overwrite(
                 spark, out, path, suffix=".compact",
-                partition_by="ingest_batch",
+                partition_by="ingest_batch", snapshot=snapshot,
             )
         else:
             swap_overwrite(
-                spark, df.coalesce(want), path, suffix=".compact"
+                spark, df.coalesce(want), path, suffix=".compact",
+                snapshot=snapshot,
             )
         after, _ = _dir_stats(spark, path)
         report[name] = {

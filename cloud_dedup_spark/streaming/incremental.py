@@ -544,8 +544,13 @@ def _incremental_dedup_update(
             inverted=union_index,
         )
         .unionByName(
+            # inverted=delta_index (not haystack_ids=delta_ids): the delta's
+            # inverted index IS the haystack explode the operator would
+            # otherwise rebuild by scanning + semi-filtering corpus-sized
+            # union_sigs — already materialized above, so reusing it saves
+            # one full-signatures scan and a duplicate delta explode per fold
             substring_edges(
-                union_norm, union_sigs, cfg, haystack_ids=delta_ids,
+                union_norm, union_sigs, cfg, inverted=delta_index,
                 cand_anchors=union_anchors, df_index=union_index,
             )
         )

@@ -126,6 +126,11 @@ def main() -> None:
     n4 = run(n4_cpus, bench_files)
     thr_n = n["files_per_sec"]
     thr_4n = n4["files_per_sec"]
+    fold_n = n.get("fold_files_per_sec")
+    fold_4n = n4.get("fold_files_per_sec")
+    fold_eff = (
+        round((fold_4n / fold_n) / 4.0, 3) if fold_n and fold_4n else None
+    )
     eff = round((thr_4n / thr_n) / 4.0, 3)
     eff_norm = round(eff / spark_ceil, 3) if spark_ceil else None
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
@@ -145,6 +150,20 @@ BASELINE.md's sandbox protocol.
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff}**
 (target ≥ 0.8 per BASELINE.json)
 
+Incremental fold (same run: a 1% prefixed delta folded into the final
+pipeline checkpoint — the O(delta) streaming path):
+
+| config | fold wall (s) | fold throughput (files/sec) |
+|---|---|---|
+| N  | {n['queries'].get('incremental_fold')} | {fold_n} |
+| 4N | {n4['queries'].get('incremental_fold')} | {fold_4n} |
+
+Fold efficiency {fold_eff} is informational, not a target: the fold's work
+is delta-sized by design (per-fold shuffle pinned byte-flat as the prior
+corpus grows 10× — tests/test_incremental.py), so at a 1% delta its wall is
+dominated by the fixed per-stage scheduling/commit floor that amortizes
+over corpus size in the batch number above, not by scalable compute.
+
 **Hardware ceiling measured this run: {ceiling}** — a no-Spark, no-shared-state
 pure-Python busy loop at {n_cpus} vs {n4_cpus} concurrently-active cores
 (this VM's cores slow as more activate; a real cluster adds executors with
@@ -162,7 +181,7 @@ Raw JSON:
 ```json
 {json.dumps(n)}
 {json.dumps(n4)}
-{json.dumps({"hardware_ceiling": ceiling, "spark_ceiling": spark_ceil, "efficiency_raw": eff, "efficiency_normalized": eff_norm})}
+{json.dumps({"hardware_ceiling": ceiling, "spark_ceiling": spark_ceil, "efficiency_raw": eff, "efficiency_normalized": eff_norm, "fold_efficiency_raw": fold_eff})}
 ```
 
 Interpretation and history: see BENCH/ANALYSIS.md (this file is regenerated

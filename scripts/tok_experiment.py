@@ -158,7 +158,7 @@ def scan_batch(texts: list[str]):
     # ---------------- per-doc token offsets --------------------------------
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
     doc_char_starts = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(lens + 1, out=doc_char_starts[1:])  # +1 for the NUL separator
+    np.cumsum(lens + 1, out=doc_char_starts[1:])  # +1 for the space separator
     doc_tok = np.searchsorted(starts, doc_char_starts)
     return hashes, doc_tok, starts, ends, cp
 
