@@ -302,6 +302,23 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (window lag → boundary flag → running sum →
+    group) — the log-pipeline operator for event data; 30-min gap.  Exact
+    integer microsecond arithmetic on both engines (unix_micros/epoch_us)."""
+    from cloud_dedup_spark.operators.events import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+def q_event_prop_buckets(spark, sf_dir):
+    """Schema-on-read JSON extraction (get_json_object, JVM-side) bucketed
+    into an aggregate — the pull-a-field-from-the-props-blob log query."""
+    from cloud_dedup_spark.operators.events import json_prop_buckets
+
+    return json_prop_buckets(_t(spark, sf_dir, "events"))
+
+
 def q_minhash_doc_clusters(spark, sf_dir):
     """Full MinHash/LSH/substring/CC pipeline on documents (non-SQL: rows-only
     driver check).  Deterministic: seeded hashes, min-id cluster labels."""
@@ -426,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "supplier_part_span": q_supplier_part_span,
         "events_rollup": q_events_rollup,
+        "user_sessions": q_user_sessions,
+        "event_prop_buckets": q_event_prop_buckets,
         "minhash_doc_clusters": q_minhash_doc_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
         "emb_near_pairs_lsh": q_emb_near_pairs_lsh,
@@ -674,6 +693,39 @@ _ORACLES: dict[str, str] = {
                round(sum(value), 2) AS sum_value
         FROM events
         GROUP BY user_id, event_type
+    """,
+    "user_sessions": """
+        WITH ordered AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_us
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, value, us,
+                 CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ordered
+        ), seq AS (
+          SELECT user_id, value, us,
+                 CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+               min(us) AS start_us, max(us) AS end_us,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS sum_value
+        FROM seq GROUP BY 1, 2
+    """,
+    "event_prop_buckets": """
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
     # minhash_doc_clusters, lsh_ann_topk: non-SQL-expressible (seeded MinHash
     # permutations / hyperplane projections + iterative CC) → rows-only check.
