@@ -65,3 +65,49 @@ def windowed_ingest_profile(
             "approx_uniq_hashes",
         )
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of :func:`operators.events.sessionize`: per-user
+    gap-based sessions via Spark's native ``session_window`` — the dynamic-
+    width event-time window that EXTENDS while events keep arriving within
+    ``gap`` and closes after ``gap`` of silence.
+
+    The engine merges overlapping session fragments across micro-batches in
+    the state store, so a session spanning many batches still emits as ONE
+    row; the watermark closes (and emits, in append mode) a session once no
+    in-gap event can still arrive, and bounds state to open sessions —
+    O(active users), not O(history).  Batch/stream parity: on a static
+    frame the same expression computes the identical sessions (pinned
+    against ``sessionize`` in tests/test_streaming.py — the window-function
+    batch operator and the session-window streaming operator agree on
+    boundaries, counts, and sums).
+
+    Returns (user_id, session_start, session_end, n_events, sum_value);
+    pair with ``outputMode("append")`` for emit-once-per-closed-session.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

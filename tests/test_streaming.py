@@ -282,3 +282,110 @@ def test_windowed_ingest_profile_watermark_and_late_data(spark, tmp_path):
     assert (0, "py") in by_window and len(by_window) == 2
     # each emitted window appears exactly once (append mode contract)
     assert len(rows) == len({(r["window_start"], r["lang"]) for r in rows})
+
+
+def test_streaming_sessions_merge_across_batches_and_emit_once(spark, tmp_path):
+    """session_window semantics end-to-end in append mode: a session EXTENDS
+    when a later micro-batch delivers an in-gap event (one emitted row, not
+    two fragments), and emits exactly once after the watermark passes its
+    end (= last event + gap)."""
+    import datetime
+
+    from cloud_dedup_spark.streaming.windows import streaming_sessions
+
+    src = str(tmp_path / "src")
+    ev_schema = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def drain():
+        sessions = streaming_sessions(
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src),
+            gap="5 minutes",
+            watermark_delay="0 seconds",
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=600)
+        assert not q.isActive
+
+    # batch 1: user 1 opens a session (10:00, 10:02)
+    write_batch([
+        (0, ts(0), 1, "c", 1.0, "{}"),
+        (1, ts(2), 1, "c", 2.0, "{}"),
+    ])
+    drain()
+    # batch 2: an in-gap event for user 1 arrives in a LATER micro-batch
+    # (10:03 < 10:02 + gap) — must merge into the open session, not start a
+    # fragment; a watermark-pusher event opens user 9's session at 11:00
+    write_batch([
+        (2, ts(3), 1, "c", 4.0, "{}"),
+        (3, ts(60), 9, "c", 8.0, "{}"),
+    ])
+    drain()
+    # batch 3: watermark (11:00, from batch 2) now exceeds user 1's session
+    # end (10:03 + 5 min = 10:08) → that session emits this drain
+    write_batch([(4, ts(120), 9, "c", 16.0, "{}")])
+    drain()
+    # batch 4: push the watermark past user 9's sessions to flush them
+    write_batch([(5, ts(180), 9, "c", 32.0, "{}")])
+    drain()
+
+    rows = spark.read.parquet(str(tmp_path / "sink")).collect()
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 1  # ONE merged session, emitted exactly once
+    assert u1[0]["n_events"] == 3 and u1[0]["sum_value"] == 7.0
+    assert u1[0]["session_start"] == ts(0)
+    assert u1[0]["session_end"] == ts(8)  # last event 10:03 + 5 min gap
+    # user 9's first two sessions closed; the 13:00 one is still open
+    u9 = sorted(
+        (r["session_start"].hour for r in rows if r["user_id"] == 9)
+    )
+    assert u9 == [11, 12]
+
+
+def test_streaming_sessions_agree_with_batch_sessionize(spark):
+    """Batch/stream parity: the session_window expression on a static frame
+    and the window-function sessionize() compute identical sessions
+    (boundaries, counts, value sums) over the sf0.001 events table."""
+    from pyspark.sql import functions as F
+
+    from cloud_dedup_spark.operators.events import sessionize
+    from cloud_dedup_spark.streaming.windows import streaming_sessions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    sw = streaming_sessions(ev, gap="30 minutes").select(
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, session_start)").alias(
+            "start_us"
+        ),
+        # session_window end = last event + gap
+        (
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, session_end)")
+            - 1800 * 1_000_000
+        ).alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+    bt = sessionize(ev, gap_seconds=1800).select(
+        "user_id", "start_us", "end_us", "n_events", "sum_value"
+    )
+    assert sw.count() == bt.count()
+    assert sw.exceptAll(bt).count() == 0
+    assert bt.exceptAll(sw).count() == 0
