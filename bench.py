@@ -36,6 +36,7 @@ HEADLINE = (
     "latest_order_per_customer",
     "supplier_part_span",
     "events_rollup",
+    "user_sessions",
     "text_profile",
     "prefix_fp_groups",
     "substring_doc_pairs",
