@@ -302,6 +302,15 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_dedup_keepers(spark, sf_dir):
+    """Survivor selection after exact dedup: one keeper per fingerprint group
+    (longest text, tie → min doc_id) — the post-detection curation step of a
+    training-data pipeline.  Planted duplicates give multi-member groups."""
+    from cloud_dedup_spark.operators.documents import select_keepers
+
+    return select_keepers(_docs_with_planted(spark, sf_dir))
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (window lag → boundary flag → running sum →
     group) — the log-pipeline operator for event data; 30-min gap.  Exact
@@ -443,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "supplier_part_span": q_supplier_part_span,
         "events_rollup": q_events_rollup,
+        "dedup_keepers": q_dedup_keepers,
         "user_sessions": q_user_sessions,
         "event_prop_buckets": q_event_prop_buckets,
         "minhash_doc_clusters": q_minhash_doc_clusters,
@@ -693,6 +703,21 @@ _ORACLES: dict[str, str] = {
                round(sum(value), 2) AS sum_value
         FROM events
         GROUP BY user_id, event_type
+    """,
+    "dedup_keepers": f"""
+        WITH docs AS ({_DOCS_PLANTED_CTE}),
+        fp AS (
+          SELECT doc_id, length(text) AS n, {_FP} AS fingerprint FROM docs
+        ), ranked AS (
+          SELECT fingerprint, doc_id,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY n DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY fingerprint) AS n_docs
+          FROM fp
+        )
+        SELECT fingerprint, doc_id AS keeper_doc_id, n_docs,
+               n_docs - 1 AS n_dropped
+        FROM ranked WHERE rn = 1
     """,
     "user_sessions": """
         WITH ordered AS (

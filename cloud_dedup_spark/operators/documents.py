@@ -221,3 +221,41 @@ def documents_as_files(docs: DataFrame) -> DataFrame:
         F.coalesce(F.col("lang"), F.lit("txt")).alias("lang"),
         F.col("text").alias("content"),
     )
+
+
+def select_keepers(docs: DataFrame) -> DataFrame:
+    """Survivor selection — the step AFTER duplicate detection in a training-
+    data pipeline: each exact-duplicate group keeps exactly one document and
+    drops the rest.
+
+    Policy (deterministic, total): keep the LONGEST raw text — duplicates
+    here are whitespace-normalized-equal, so the longest member carries the
+    most original formatting — breaking ties on min doc_id.  Singleton
+    groups keep their only member (n_dropped = 0), so the output is the
+    complete post-dedup corpus manifest: one row per surviving document.
+
+    One window over the fingerprint partition (single shuffle); the same
+    row_number-over-ordered-partition shape as the pipeline's exact-rep
+    pick, in pure-SQL form for the DuckDB twin.
+
+    Output: fingerprint, keeper_doc_id, n_docs, n_dropped.
+    """
+    ranked = docs.select(
+        doc_fingerprint("text").alias("fingerprint"),
+        "doc_id",
+        F.length("text").alias("_n"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("_n").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "n_docs",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )

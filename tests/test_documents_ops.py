@@ -67,3 +67,26 @@ def test_duplicate_texts_within_source_count_once(spark):
     r = out[0]
     assert (r["n_a"], r["n_b"], r["n_shared"]) == (1, 1, 1)
     assert r["relationship"] == "identical"
+
+
+def test_select_keepers_policy_and_singletons(spark):
+    from cloud_dedup_spark.operators.documents import select_keepers
+
+    rows = [
+        # one normalized group, three raw variants: doc 2 is LONGEST raw
+        # (extra internal whitespace collapses in the fingerprint) → keeper
+        _doc(1, "dup body here", "a"),
+        (2, "dup  body   here", "en", "b", 16),
+        _doc(3, "dup body here", "c"),
+        # tie group: equal lengths → min doc_id keeps
+        _doc(10, "tie text", "a"),
+        _doc(11, "tie text", "b"),
+        # singleton keeps itself with nothing dropped
+        _doc(20, "unique text", "a"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    out = {r["keeper_doc_id"]: r for r in select_keepers(docs).collect()}
+    assert set(out) == {2, 10, 20}
+    assert (out[2]["n_docs"], out[2]["n_dropped"]) == (3, 2)
+    assert (out[10]["n_docs"], out[10]["n_dropped"]) == (2, 1)
+    assert (out[20]["n_docs"], out[20]["n_dropped"]) == (1, 0)
