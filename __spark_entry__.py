@@ -130,11 +130,15 @@ def q_substring_doc_pairs(spark, sf_dir):
     DuckDB's naive all-pairs contains() on identically normalized text.
     Haystacks are planted by concatenating adjacent docs with the IDENTICAL
     expression on both engines; the natural corpus contributes additional
-    true containments.  Equality holds because every needle here is
-    distinctive (rarest-anchor df ≪ cap) and ≥ min_tokens, so the
-    candidate-generation heuristics are recall-lossless on this input —
-    the pytest suite covers the capped/dropped-needle cases DuckDB cannot
-    express."""
+    true containments.  The oracle mirrors the operator's exact needle
+    gates — token-strict size inequality and the min-token floor, counted
+    with the same tokenizer regex on the identically normalized text
+    (char-strict length alone admits pairs the operator rejects, e.g. equal
+    token counts where the haystack merely extends the needle's last
+    token).  Equality holds because every needle here is distinctive
+    (rarest-anchor df ≪ cap), so the candidate-generation heuristics are
+    recall-lossless on this input — the pytest suite covers the
+    capped/dropped-needle cases DuckDB cannot express."""
     from cloud_dedup_spark.config import DedupConfig
     from cloud_dedup_spark.functions.normalize import with_identity
     from cloud_dedup_spark.operators.signatures import compute_signatures
@@ -493,9 +497,9 @@ _ORACLES: dict[str, str] = {
     # naive all-pairs containment twin of the anchor-indexed production
     # operator: identical normalization chain (lower → strip /* */ and
     # #/// line comments → collapse ws → trim; RE2 inline flags mirror the
-    # Java (?s)/(?m) semantics), identical haystack planting, char-strict
-    # length inequality == the operator's token-strict one (containment at
-    # equal token count forces string equality)
+    # Java (?s)/(?m) semantics), identical haystack planting, and the
+    # operator's own token-strict gates (min 12 tokens, needle tokens <
+    # haystack tokens) via the signature tokenizer regex
     "substring_doc_pairs": r"""
         WITH all_docs AS (
           SELECT doc_id, text FROM documents
@@ -512,13 +516,23 @@ _ORACLES: dict[str, str] = {
                       '(?m)(#|//).*$', ' ', 'g'),
                       '\s+', ' ', 'g')) AS t
           FROM all_docs
+        ), tok AS (
+          -- the operator's token-strict semantics, not char-strict: needle
+          -- token count >= substring_min_tokens (12) and strictly fewer
+          -- tokens than the haystack, counted with the signature stage's
+          -- exact tokenizer regex over the identically normalized text
+          SELECT doc_id, t,
+                 len(regexp_extract_all(
+                       t, '[a-z_][a-z0-9_]*|[0-9]+|[^\sa-z0-9_]')) AS n_tok
+          FROM norm
         )
         SELECT LEAST(n.doc_id, h.doc_id) AS doc_a,
                GREATEST(n.doc_id, h.doc_id) AS doc_b
-        FROM norm n JOIN norm h
+        FROM tok n JOIN tok h
           ON n.doc_id <> h.doc_id
          AND length(n.t) >= 64
-         AND length(n.t) < length(h.t)
+         AND n.n_tok >= 12
+         AND n.n_tok < h.n_tok
          AND position(n.t IN h.t) > 0
         GROUP BY 1, 2
     """,

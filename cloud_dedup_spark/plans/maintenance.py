@@ -112,8 +112,53 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
+# advisory writer lock for the .compact swap: while a compaction holds a
+# FRESH lock on a table, a concurrently-entering fold must not run entry
+# repair on it — racing repair against a live swap can rename `.old` back
+# mid-protocol or delete the manifest mid-restore (both corruption paths;
+# found in the round-4 review).  A lock older than the TTL is a crash
+# leftover: the next repair/compaction clears it and proceeds.  Advisory by
+# design — single-compactor scheduling is still the operational contract,
+# this closes the fold-vs-compactor window without a lock service.
+_LOCK_TTL_MS = 6 * 3600 * 1000
+
+
+def _lock_path(path: str, suffix: str) -> str:
+    return f"{path}{suffix}.lock"
+
+
+def _lock_is_fresh(fs, jvm, path: str, suffix: str) -> bool:
+    P = jvm.org.apache.hadoop.fs.Path
+    lp = P(_lock_path(path, suffix))
+    if not fs.exists(lp):
+        return False
+    age = jvm.java.lang.System.currentTimeMillis() - fs.getFileStatus(
+        lp
+    ).getModificationTime()
+    if age > _LOCK_TTL_MS:
+        fs.delete(lp, False)  # crash leftover
+        return False
+    return True
+
+
+def _take_lock(fs, jvm, path: str, suffix: str) -> None:
+    P = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(P(_lock_path(path, suffix)), True)
+    out.write(bytearray(b"compact"))
+    out.close()
+
+
+def _drop_lock(fs, jvm, path: str, suffix: str) -> None:
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_lock_path(path, suffix)), False)
+
+
 def repair_swap(spark: SparkSession, path: str, suffix: str = ".swap") -> None:
     """Entry repair for the two-rename swap protocol (run BEFORE reading).
+
+    If a FRESH writer lock exists for this (path, suffix), another process
+    is mid-swap — there is no crash state to repair, and racing the live
+    protocol is the only way this function can do harm, so it returns
+    without touching anything.
 
     A crash between the two renames leaves the data parked at
     ``<path><suffix>.old`` with the main path missing — rename it back
@@ -126,6 +171,8 @@ def repair_swap(spark: SparkSession, path: str, suffix: str = ".swap") -> None:
     scratch).
     """
     fs, hpath, jvm = _fs(spark, path)
+    if _lock_is_fresh(fs, jvm, path, suffix):
+        return
     P = jvm.org.apache.hadoop.fs.Path
     old, tmp = f"{path}{suffix}.old", f"{path}{suffix}.tmp"
     old_p, tmp_p = P(old), P(tmp)
@@ -173,6 +220,18 @@ def swap_overwrite(
     deterministic partition replays.  Callers that are the table's only
     writer (the fold's edges/cluster_labels rewrites) omit it.
     """
+    if table_format not in ("parquet", "orc"):
+        # snapshot-isolated table formats (Iceberg): the read pinned a
+        # snapshot at plan time and the overwrite commits a new one, so a
+        # self-referential rewrite is already safe — and the rename protocol
+        # would break them (their metadata records absolute file paths, so a
+        # directory rename orphans the table).  Plain overwrite IS the
+        # atomic swap there.
+        w = df.write.mode("overwrite").format(table_format)
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.save(path)
+        return
     tmp, old = f"{path}{suffix}.tmp", f"{path}{suffix}.old"
     fs, hpath, jvm = _fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
@@ -263,81 +322,103 @@ def compact_stage_tables(
         # concurrent append is provably not in the output and the manifest
         # restore (swap_overwrite) moves it into the new table afterwards
         fs, _, jvm = _fs(spark, path)
-        snapshot = _list_children(fs, jvm, path)
-        part_dirs = [c for c in snapshot if c.startswith("ingest_batch=")]
-        if part_dirs:
-            from urllib.parse import unquote
-
-            vals = [unquote(c.split("=", 1)[1]) for c in part_dirs]
-            df = spark.read.parquet(path).filter(
-                F.col("ingest_batch").isin(vals)
+        # writer lock held for the whole read+swap: a fold entering NOW must
+        # not run its .compact entry repair against the live protocol (see
+        # repair_swap); a fresh foreign lock means another compactor owns
+        # this table — leave it alone this run
+        if _lock_is_fresh(fs, jvm, path, ".compact"):
+            continue
+        _take_lock(fs, jvm, path, ".compact")
+        try:
+            report[name] = _compact_one(
+                spark, fs, jvm, loc, path, n_files, total, want,
             )
-        else:
-            df = spark.read.parquet(*[f"{path}/{c}" for c in snapshot])
-        # coalesce, not repartition: compaction must not shuffle the data it
-        # rewrites — each output task concatenates whole input files.
-        # Batch-partitioned tables (shingle_index writes one partition per
-        # ingest batch) are folded into a single `compacted` partition so
-        # the layout stays partitioned and future per-batch dynamic
-        # overwrites keep working; their rows are also DE-DUPLICATED here
-        # (index rows are unique by construction — (dst, sh) per doc — so a
-        # full-row distinct only removes crash artifacts).  That dedup is
-        # the one shuffle compaction performs, and it makes the index
-        # self-healing: duplicate rows from a violated write discipline are
-        # removed by the next compaction instead of accumulating.
-        if "ingest_batch" in df.columns:
-            # live-ingest guard (round-4): a batch partition whose fold has
-            # NOT reached its identity commit yet is still subject to a
-            # replay's per-partition dynamic overwrite — folding it into
-            # `compacted` would strand a stale copy the replay cannot
-            # replace (duplicated rows until the next self-healing dedup).
-            # In-flight detection is observational, not a lock: a partition
-            # is in-flight iff it carries a key (dst = file_id) absent from
-            # the committed identity table; those partitions are carried
-            # through compaction byte-identical, under their own names.
-            inflight: list[str] = []
-            id_fs, id_hpath, _ = _fs(spark, f"{loc}/identity")
-            if "dst" in df.columns and id_fs.exists(id_hpath):
-                ids = (
-                    spark.read.parquet(f"{loc}/identity")
-                    .select(F.col("file_id").alias("dst"))
-                    .distinct()
-                )
-                inflight = [
-                    r["ingest_batch"]
-                    for r in df.join(ids, "dst", "left_anti")
-                    .select("ingest_batch")
-                    .distinct()
-                    .collect()
-                ]
-            committed = (
-                df.filter(~F.col("ingest_batch").isin(inflight))
-                if inflight
-                else df
-            )
-            out = (
-                committed.drop("ingest_batch")
-                .dropDuplicates()
-                .withColumn("ingest_batch", F.lit("compacted"))
-                .coalesce(want)
-            )
-            if inflight:
-                out = out.unionByName(
-                    df.filter(F.col("ingest_batch").isin(inflight))
-                )
-            swap_overwrite(
-                spark, out, path, suffix=".compact",
-                partition_by="ingest_batch", snapshot=snapshot,
-            )
-        else:
-            swap_overwrite(
-                spark, df.coalesce(want), path, suffix=".compact",
-                snapshot=snapshot,
-            )
-        after, _ = _dir_stats(spark, path)
-        report[name] = {
-            "files_before": n_files,
-            "files_after": after,
-            "bytes": total,
-        }
+        finally:
+            _drop_lock(fs, jvm, path, ".compact")
     return report
+
+
+def _compact_one(
+    spark, fs, jvm, loc: str, path: str, n_files: int, total: int, want: int
+) -> dict:
+    """Snapshot-pinned rewrite + manifest swap of one table (lock held by
+    the caller)."""
+    from pyspark.sql import functions as F
+
+    snapshot = _list_children(fs, jvm, path)
+    part_dirs = [c for c in snapshot if c.startswith("ingest_batch=")]
+    if part_dirs:
+        from urllib.parse import unquote
+
+        vals = [unquote(c.split("=", 1)[1]) for c in part_dirs]
+        df = spark.read.parquet(path).filter(
+            F.col("ingest_batch").isin(vals)
+        )
+    else:
+        df = spark.read.parquet(*[f"{path}/{c}" for c in snapshot])
+    # coalesce, not repartition: compaction must not shuffle the data it
+    # rewrites — each output task concatenates whole input files.
+    # Batch-partitioned tables (shingle_index writes one partition per
+    # ingest batch) are folded into a single `compacted` partition so
+    # the layout stays partitioned and future per-batch dynamic
+    # overwrites keep working; their rows are also DE-DUPLICATED here
+    # (index rows are unique by construction — (dst, sh) per doc — so a
+    # full-row distinct only removes crash artifacts).  That dedup is
+    # the one shuffle compaction performs, and it makes the index
+    # self-healing: duplicate rows from a violated write discipline are
+    # removed by the next compaction instead of accumulating.
+    if "ingest_batch" in df.columns:
+        # live-ingest guard (round-4): a batch partition whose fold has
+        # NOT reached its identity commit yet is still subject to a
+        # replay's per-partition dynamic overwrite — folding it into
+        # `compacted` would strand a stale copy the replay cannot
+        # replace (duplicated rows until the next self-healing dedup).
+        # In-flight detection is observational, not a lock: a partition
+        # is in-flight iff it carries a key (dst = file_id) absent from
+        # the committed identity table; those partitions are carried
+        # through compaction byte-identical, under their own names.
+        inflight: list[str] = []
+        id_fs, id_hpath, _ = _fs(spark, f"{loc}/identity")
+        if "dst" in df.columns and id_fs.exists(id_hpath):
+            ids = (
+                spark.read.parquet(f"{loc}/identity")
+                .select(F.col("file_id").alias("dst"))
+                .distinct()
+            )
+            inflight = [
+                r["ingest_batch"]
+                for r in df.join(ids, "dst", "left_anti")
+                .select("ingest_batch")
+                .distinct()
+                .collect()
+            ]
+        committed = (
+            df.filter(~F.col("ingest_batch").isin(inflight))
+            if inflight
+            else df
+        )
+        out = (
+            committed.drop("ingest_batch")
+            .dropDuplicates()
+            .withColumn("ingest_batch", F.lit("compacted"))
+            .coalesce(want)
+        )
+        if inflight:
+            out = out.unionByName(
+                df.filter(F.col("ingest_batch").isin(inflight))
+            )
+        swap_overwrite(
+            spark, out, path, suffix=".compact",
+            partition_by="ingest_batch", snapshot=snapshot,
+        )
+    else:
+        swap_overwrite(
+            spark, df.coalesce(want), path, suffix=".compact",
+            snapshot=snapshot,
+        )
+    after, _ = _dir_stats(spark, path)
+    return {
+        "files_before": n_files,
+        "files_after": after,
+        "bytes": total,
+    }

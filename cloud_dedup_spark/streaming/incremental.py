@@ -460,9 +460,18 @@ def _incremental_dedup_update(
     )
     # small_pairs: the pair set is delta-anchored — plan-time broadcasts keep
     # the corpus-wide sigs table scan-only (AQE alone still materializes the
-    # corpus-sized exchange before deciding to broadcast)
+    # corpus-sized exchange before deciding to broadcast).  GATED on the
+    # measured pair count: a delta file carrying a hot (boilerplate) band key
+    # pairs against every prior file in that bucket, so "delta-anchored" does
+    # not bound the set — force-broadcasting it would OOM the driver exactly
+    # when skew strikes (round-4 review).  Past the gate, verify falls back
+    # to its shuffled AQE plan — the batch path's graceful degradation.
+    lsh_pairs = lsh_pairs.localCheckpoint()
     near_new = accepted_edges(
-        verify_pairs(lsh_pairs, union_sigs, cfg, small_pairs=True)
+        verify_pairs(
+            lsh_pairs, union_sigs, cfg,
+            small_pairs=lsh_pairs.count() <= 500_000,
+        )
     ).select("src", "dst", "edge_kind", "score")
 
     # substring: both delta-anchored directions (new needle in old haystack,
@@ -801,7 +810,12 @@ def _incremental_dedup_update(
     _append_absent(delta_sigs, "signatures", ["file_id"], prior_sigs)
     _append_absent(delta_norm, "norm", ["file_id"], prior_norm)
     _append_absent(delta_bands, "bands", ["file_id"], prior_bands)
-    _append_absent(delta_anchors, "anchors", ["src"], prior_anchors)
+    # anchors is the one append table with MULTIPLE rows per src (K min
+    # shingles), so the guard keys on the full (src, sh) row identity — a
+    # src-only key would treat a partially-committed crash append as "src
+    # exists" and silently drop the needle's remaining anchors forever
+    # (round-4 review)
+    _append_absent(delta_anchors, "anchors", ["src", "sh"], prior_anchors)
     if has_new_quarantine:
         _append_absent(
             new_q_rows, "quarantine", ["file_id", "file_id2"], prior_quarantine

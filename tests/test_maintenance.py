@@ -186,3 +186,43 @@ def test_compaction_mid_stream_preserves_inflight_batch(spark, tmp_path):
     final = spark.read.parquet(idx)
     assert final.count() == 18 + 3
     assert final.filter(F.col("dst") == 99).count() == 3
+
+
+def test_repair_skips_under_fresh_lock_and_clears_stale(spark, tmp_path):
+    """The advisory compaction lock: a fold's entry repair must NOT race a
+    live compaction's swap (fresh lock → no-op), but a crash-leftover lock
+    past the TTL is cleared and repair proceeds."""
+    from cloud_dedup_spark.plans.maintenance import _LOCK_TTL_MS, _take_lock
+
+    loc = str(tmp_path / "state")
+    path = f"{loc}/identity"
+    _write_fragmented(spark, path, n_slices=3)
+    fs, _, jvm = _fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    # park the table in the mid-swap crash state: main gone, data in `.old`
+    assert fs.rename(P(path), P(f"{path}.compact.old"))
+    _take_lock(fs, jvm, path, ".compact")
+    repair_swap(spark, path, suffix=".compact")
+    # fresh lock → repair refused to touch the live protocol
+    assert not os.path.exists(path)
+    assert os.path.exists(f"{path}.compact.old")
+    # backdate the lock past the TTL → stale: cleared, repair proceeds
+    old_ms = jvm.java.lang.System.currentTimeMillis() - _LOCK_TTL_MS - 60_000
+    fs.setTimes(P(f"{path}.compact.lock"), old_ms, -1)
+    repair_swap(spark, path, suffix=".compact")
+    assert os.path.exists(path)
+    assert not os.path.exists(f"{path}.compact.old")
+    assert not os.path.exists(f"{path}.compact.lock")
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_compaction_skips_foreign_locked_table(spark, tmp_path):
+    from cloud_dedup_spark.plans.maintenance import _take_lock
+
+    loc = str(tmp_path / "state")
+    path = f"{loc}/signatures"
+    _write_fragmented(spark, path)
+    fs, _, jvm = _fs(spark, path)
+    _take_lock(fs, jvm, path, ".compact")
+    # another compactor owns the table → left alone this run
+    assert compact_stage_tables(spark, loc, min_files=4) == {}
