@@ -1,13 +1,16 @@
-"""Multimodal (image/audio/video) column plumbing — Spark-side real, codecs stubbed.
+"""Multimodal (image/audio/video) columns — real plumbing, real simple codecs.
 
 Treats media as opaque ``binary`` payloads with typed metadata columns, the
 standard shape for a training-data lake.  The Spark plumbing — schema,
 Arrow batch iteration via ``mapInPandas``, partition sizing, deterministic
-content ids — is real and tested; the actual decode (PIL/ffmpeg/torchaudio
-are not in this container) is isolated behind ``Decoder`` implementations:
-``StubDecoder`` raises NotImplementedError, ``FakeDecoder`` produces
-deterministic features from the bytes so the distributed path is testable
-end-to-end.
+content ids — is real and tested.  Decoding sits behind ``Decoder``
+implementations: ``PnmWavDecoder`` REALLY decodes one codec per modality
+with zero dependencies (binary PGM/PPM images + block-mean resize; PCM WAV
+audio via stdlib ``wave`` + 16-band energy profile); ``FakeDecoder``
+produces deterministic features from raw bytes for plumbing tests; video
+(and the compressed formats — JPEG/PNG/MP3/MP4) still need PIL/ffmpeg on
+the cluster image and stay behind loud ``NotImplementedError``
+(``StubDecoder``).
 
 Scale notes: media rows are wide (MBs); ``spark.sql.files.maxPartitionBytes``
 and the Arrow batch cap (session.py) keep per-task memory bounded.  Feature
@@ -78,6 +81,118 @@ class FakeDecoder(Decoder):
         raw = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
         vec = raw / np.float64(0xFFFFFFFF)
         return (vec / np.linalg.norm(vec)).astype(np.float32)
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6) → 2-D float grayscale array in [0, 1].
+
+    Pure-bytes parsing (header tokens with '#'-comment support, then the
+    raster), no imaging library.  1- and 2-byte-per-sample rasters per the
+    spec (maxval < 256 vs ≥ 256, big-endian); P6's RGB is collapsed to
+    grayscale by channel mean."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM payload (magic {magic!r})")
+    # header tokenizer: whitespace-separated integers, '#' starts a comment
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval, per spec
+    width, height, maxval = fields
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError(f"bad PNM dimensions {width}x{height}/{maxval}")
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    img = raster.astype(np.float64).reshape(height, width, channels)
+    return img.mean(axis=2) / float(maxval)
+
+
+def _block_mean_grid(img: np.ndarray, grid: int) -> np.ndarray:
+    """Resize-by-block-mean to a (grid × grid) thumbnail, any input size —
+    the media 'resize' op, done with bin indices instead of a codec."""
+    h, w = img.shape
+    rows = np.minimum((np.arange(h) * grid) // max(h, 1), grid - 1)
+    cols = np.minimum((np.arange(w) * grid) // max(w, 1), grid - 1)
+    out = np.zeros((grid, grid), dtype=np.float64)
+    cnt = np.zeros((grid, grid), dtype=np.float64)
+    np.add.at(out, (rows[:, None], cols[None, :]), img)
+    np.add.at(cnt, (rows[:, None], cols[None, :]), 1.0)
+    return out / np.maximum(cnt, 1.0)
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """WAV (PCM) → 1-D float mono signal in [-1, 1], stdlib ``wave`` only."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        sig = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        sig = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        sig = sig.reshape(-1, n_ch).mean(axis=1)
+    return sig
+
+
+class PnmWavDecoder(Decoder):
+    """REAL zero-dependency decoders for one codec per modality.
+
+    image → binary PGM/PPM parse → block-mean resize to a 4×4 grid → 16-dim
+    intensity feature; audio → stdlib-``wave`` PCM decode → mono → 16-band
+    RMS energy profile (the temporal shape near-dup audio shares).  Video
+    stays honestly stubbed: frame demux genuinely requires ffmpeg — plug a
+    frame-sampling Decoder on a codec-bearing cluster image; each sampled
+    frame then reuses the image path here.
+
+    Features are L2-normalized so the downstream cosine operators
+    (operators/similarity.py / ivf.py) apply unchanged."""
+
+    dim = 16
+    _GRID = 4
+
+    def decode(self, kind: str, payload: bytes) -> np.ndarray:
+        if kind == "image":
+            vec = _block_mean_grid(_decode_pnm(payload), self._GRID).ravel()
+        elif kind == "audio":
+            sig = _decode_wav(payload)
+            if sig.size == 0:
+                raise ValueError("empty audio signal")
+            vec = np.array(
+                [
+                    float(np.sqrt(np.mean(np.square(chunk)))) if chunk.size else 0.0
+                    for chunk in np.array_split(sig, self.dim)
+                ]
+            )
+        else:
+            raise NotImplementedError(
+                "video frame-sampling requires ffmpeg; plug a frame-sampling "
+                "Decoder on a codec-bearing image (frames then reuse the "
+                "image path)"
+            )
+        norm = np.linalg.norm(vec)
+        if norm == 0.0:
+            # uniform black image / digital silence: a valid, deterministic
+            # feature (unit vector), not a failure
+            vec = np.full(self.dim, 1.0 / np.sqrt(self.dim))
+            return vec.astype(np.float32)
+        return (vec / norm).astype(np.float32)
 
 
 def extract_features(media: DataFrame, decoder: Decoder) -> DataFrame:
