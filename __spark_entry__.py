@@ -27,6 +27,12 @@ from cloud_dedup_spark.operators.documents import (
     unique_docs_per_source,
 )
 from cloud_dedup_spark.operators.ivf import ivf_topk
+from cloud_dedup_spark.operators.multimodal import (
+    PnmWavDecoder,
+    documents_as_media,
+    extract_features,
+    feature_dup_groups,
+)
 from cloud_dedup_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_pairs,
@@ -430,6 +436,21 @@ def q_emb_near_pairs_ivf(spark, sf_dir):
     )
 
 
+def q_media_dup_groups(spark, sf_dir):
+    """Multimodal dedup over DECODED features, end-to-end on genuine media
+    bytes: documents are rendered to real 4x4 binary PGMs (pure-Column
+    synthesis — sha2→unhex→substring→concat, operators/multimodal.py),
+    decoded by the REAL ``PnmWavDecoder`` through the distributed
+    ``mapInPandas`` path, and grouped by decoded feature vector.  Identical
+    text ⇔ byte-identical image ⇔ identical feature, so the DuckDB twin
+    groups by raw text equality — the decode round-trip is what's under
+    test.  Reference analog: the MD5-based media channel
+    (/root/reference/src/cloud_duplicate_analyzer.py:100-111), upgraded to
+    content-decoded features."""
+    media = documents_as_media(_docs_with_planted(spark, sf_dir))
+    return feature_dup_groups(extract_features(media, PnmWavDecoder()))
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (non-SQL: rows-only driver check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -459,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers": q_dedup_keepers,
         "user_sessions": q_user_sessions,
         "event_prop_buckets": q_event_prop_buckets,
+        "media_dup_groups": q_media_dup_groups,
         "minhash_doc_clusters": q_minhash_doc_clusters,
         "lsh_ann_topk": q_lsh_ann_topk,
         "emb_near_pairs_lsh": q_emb_near_pairs_lsh,
@@ -481,6 +503,17 @@ _ORACLES: dict[str, str] = {
                min(doc_id) AS min_doc_id
         FROM docs
         GROUP BY 1
+        HAVING count(*) >= 2
+    """,
+    # media decode round-trip: identical raw text ⇔ byte-identical PGM ⇔
+    # identical decoded feature (4x4 grid = identity on the pixels), so raw
+    # text-equality groups are the exact truth for the feature-level groups
+    "media_dup_groups": f"""
+        WITH docs AS ({_DOCS_PLANTED_CTE})
+        SELECT min(doc_id) AS min_media_id,
+               count(*) AS n_media
+        FROM docs
+        GROUP BY text
         HAVING count(*) >= 2
     """,
     "prefix_fp_groups": """

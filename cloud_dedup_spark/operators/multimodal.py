@@ -243,6 +243,63 @@ def exact_media_duplicates(features: DataFrame) -> DataFrame:
     )
 
 
+def feature_dup_groups(features: DataFrame) -> DataFrame:
+    """Duplicate groups by DECODED feature equality (vs the raw-byte groups of
+    :func:`exact_media_duplicates`): two payloads that decode to the same
+    feature are duplicates even if their bytes differ (re-encoded copies,
+    metadata-only edits).  Cosine-threshold NEAR-dup is the downstream
+    operators/similarity.py / ivf.py job on the same column; this is the
+    exact (cos == 1) channel.
+
+    Rows whose decode failed (``feature IS NULL``) are excluded — grouping
+    them would weld every corrupt payload into one phantom "duplicate" group.
+
+    Scale shape: one hash-partitioned groupBy on a 16-float key — the same
+    single narrow shuffle as exact text dedup (operators/exact.py)."""
+    return (
+        features.filter(F.col("feature").isNotNull())
+        .groupBy("feature")
+        .agg(
+            F.min("media_id").alias("min_media_id"),
+            F.count(F.lit(1)).alias("n_media"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .select("min_media_id", "n_media")
+    )
+
+
+# 4x4 grayscale: the decoder's block-mean grid is 4x4, so decode is the
+# identity on the pixels (then L2-normalized) — feature equality ⇔ payload
+# equality up to exact positive scaling of the 16-byte vector, which for
+# sha256-derived pixels is a ~2^-120 event.
+_PGM_HEADER = b"P5\n4 4\n255\n"
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic text→image rendering: each document becomes a 4x4 binary
+    PGM whose 16 pixels are the first 16 bytes of sha256(text).
+
+    This is the test/bench stand-in for a real raster column — the point is
+    that the PAYLOAD IS GENUINE MEDIA (``_decode_pnm`` parses it like any
+    other PGM) and identical text yields the byte-identical image, so media
+    dedup over decoded features is checkable against a text-equality oracle.
+    Pure Column expressions (sha2 → unhex → substring → concat): the
+    synthesis itself never leaves the JVM."""
+    payload = F.concat(
+        F.lit(bytearray(_PGM_HEADER)),
+        F.substring(F.unhex(F.sha2(F.col("text"), 256)), 1, 16),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+        payload.alias("payload"),
+        F.lit(4).alias("meta_width"),
+        F.lit(4).alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_duration_ms"),
+    )
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42, dup_every: int = 8) -> DataFrame:
     """Deterministic fake media table for tests: every ``dup_every``-th row
     duplicates row 0's payload (planted exact-dup group)."""

@@ -163,3 +163,55 @@ def test_real_decoder_distributed_with_per_row_isolation(spark):
     # video remains loudly unimplemented (needs ffmpeg)
     with pytest.raises(NotImplementedError):
         PnmWavDecoder().decode("video", b"\x00")
+
+
+def test_documents_as_media_roundtrip_dedup(spark):
+    """documents → real PGM payloads → real decode → feature-level dup groups
+    equal the text-equality truth; corrupt payloads are excluded, not welded
+    into a phantom group."""
+    import numpy as np
+
+    from cloud_dedup_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PnmWavDecoder,
+        _decode_pnm,
+        documents_as_media,
+        feature_dup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i % 4}", "en", "s", 11) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = documents_as_media(docs)
+    rows = media.collect()
+    # payloads are genuine PGMs: the zero-dependency parser accepts them
+    img = _decode_pnm(bytes(rows[0]["payload"]))
+    assert img.shape == (4, 4)
+    feats = extract_features(media, PnmWavDecoder())
+    groups = {
+        r["min_media_id"]: r["n_media"]
+        for r in feature_dup_groups(feats).collect()
+    }
+    # texts 0,1 appear 3x (ids 0-2 mod 4 ... ids {0,4,8},{1,5,9}); 2,3 appear 2x
+    assert groups == {0: 3, 1: 3, 2: 2, 3: 2}
+    # corrupt payloads decode to feature=None and must be EXCLUDED from groups
+    bad = spark.createDataFrame(
+        [
+            (100, "image", "image/x-portable-graymap", bytearray(b"junk1"), 4, 4, None),
+            (101, "image", "image/x-portable-graymap", bytearray(b"junk2"), 4, 4, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    bad_groups = feature_dup_groups(
+        extract_features(bad, PnmWavDecoder())
+    ).collect()
+    assert bad_groups == []
+    # distinct texts yield distinct features (no scale-collision on sha pixels)
+    all_feats = [
+        tuple(r["feature"])
+        for r in feats.select("feature").collect()
+    ]
+    assert len(set(all_feats)) == 4
+    for f in all_feats:
+        assert np.isclose(float(np.linalg.norm(np.array(f))), 1.0, atol=1e-5)
