@@ -42,6 +42,7 @@ HEADLINE = (
     "substring_doc_pairs",
     "ngram_jaccard_pairs",
     "unique_docs",
+    "media_dup_groups",
     "ann_topk",
     "emb_near_pairs",
     "emb_near_pairs_lsh",
