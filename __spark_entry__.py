@@ -513,6 +513,7 @@ _ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS min_media_id,
                count(*) AS n_media
         FROM docs
+        WHERE text IS NOT NULL  -- documents_as_media drops NULL texts
         GROUP BY text
         HAVING count(*) >= 2
     """,

@@ -16,7 +16,9 @@ Scale notes: media rows are wide (MBs); ``spark.sql.files.maxPartitionBytes``
 and the Arrow batch cap (session.py) keep per-task memory bounded.  Feature
 extraction is embarrassingly parallel — no shuffle until the downstream
 similarity join, which reuses operators/similarity.py on the emitted
-embedding column.
+feature column (the cosine operators normalize internally, so decoders emit
+raw content-faithful features — see ``PnmWavDecoder`` on why NOT to
+pre-normalize the dedup key).
 """
 
 from __future__ import annotations
@@ -118,17 +120,30 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
     return img.mean(axis=2) / float(maxval)
 
 
+def _area_weights(n: int, grid: int) -> np.ndarray:
+    """(n × grid) overlap matrix: W[i, b] = length of input cell i's span
+    [i·g/n, (i+1)·g/n) inside bin [b, b+1).  Exact area resampling — every
+    input cell distributes its full g/n weight, whether n is larger or
+    smaller than the grid."""
+    edges = np.arange(n + 1) * (grid / n)
+    lo, hi = edges[:-1, None], edges[1:, None]
+    b = np.arange(grid)[None, :]
+    return np.clip(np.minimum(hi, b + 1.0) - np.maximum(lo, b), 0.0, None)
+
+
 def _block_mean_grid(img: np.ndarray, grid: int) -> np.ndarray:
-    """Resize-by-block-mean to a (grid × grid) thumbnail, any input size —
-    the media 'resize' op, done with bin indices instead of a codec."""
+    """Exact area-averaged resize to (grid × grid), any input size — the
+    media 'resize' op, done with two small matmuls instead of a codec
+    (cv2.INTER_AREA semantics).  Area weighting makes the thumbnail exactly
+    invariant under integer upscales and fills every cell even when the
+    input is smaller than the grid (a floor-bin block mean does neither:
+    a 2×2 image landed only in bins {0, 2} and diverged from its own 2×
+    upscale); the matmuls are BLAS, vs the order-of-magnitude-slower
+    unbuffered np.add.at over every pixel."""
     h, w = img.shape
-    rows = np.minimum((np.arange(h) * grid) // max(h, 1), grid - 1)
-    cols = np.minimum((np.arange(w) * grid) // max(w, 1), grid - 1)
-    out = np.zeros((grid, grid), dtype=np.float64)
-    cnt = np.zeros((grid, grid), dtype=np.float64)
-    np.add.at(out, (rows[:, None], cols[None, :]), img)
-    np.add.at(cnt, (rows[:, None], cols[None, :]), 1.0)
-    return out / np.maximum(cnt, 1.0)
+    # each bin's weights already sum to exactly 1 (the overlaps tile the bin),
+    # so the matmul IS the area-weighted mean — no count normalization
+    return _area_weights(h, grid).T @ img @ _area_weights(w, grid)
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:
@@ -154,18 +169,24 @@ def _decode_wav(payload: bytes) -> np.ndarray:
 class PnmWavDecoder(Decoder):
     """REAL zero-dependency decoders for one codec per modality.
 
-    image → binary PGM/PPM parse → block-mean resize to a 4×4 grid → 16-dim
-    intensity feature; audio → stdlib-``wave`` PCM decode → mono → 16-band
-    RMS energy profile (the temporal shape near-dup audio shares).  Video
-    stays honestly stubbed: frame demux genuinely requires ffmpeg — plug a
-    frame-sampling Decoder on a codec-bearing cluster image; each sampled
-    frame then reuses the image path here.
+    image → binary PGM/PPM parse → exact area-averaged resize to a 4×4 grid
+    → 16-dim intensity feature in [0, 1]; audio → stdlib-``wave`` PCM decode
+    → mono → 16-band RMS energy profile in [0, 1] (the temporal shape
+    near-dup audio shares).  Video stays honestly stubbed: frame demux
+    genuinely requires ffmpeg — plug a frame-sampling Decoder on a
+    codec-bearing cluster image; each sampled frame then reuses the image
+    path here.
 
-    Features are L2-normalized so the downstream cosine operators
-    (operators/similarity.py / ivf.py) apply unchanged."""
+    Features are deliberately NOT L2-normalized: equality must mean equal
+    decoded content, and normalization welded every flat image with digital
+    silence and an image with its 3×-brightness copy (round-4 review).  The
+    downstream cosine operators (operators/similarity.py / ivf.py) compute
+    norms internally, so raw features feed them unchanged; brightness/
+    volume-INVARIANT matching is available there as cosine ≈ 1, as a
+    threshold choice rather than a baked-in loss of information."""
 
-    dim = 16
     _GRID = 4
+    dim = _GRID**2  # image grid cells == audio bands: one feature column
 
     def decode(self, kind: str, payload: bytes) -> np.ndarray:
         if kind == "image":
@@ -186,13 +207,7 @@ class PnmWavDecoder(Decoder):
                 "Decoder on a codec-bearing image (frames then reuse the "
                 "image path)"
             )
-        norm = np.linalg.norm(vec)
-        if norm == 0.0:
-            # uniform black image / digital silence: a valid, deterministic
-            # feature (unit vector), not a failure
-            vec = np.full(self.dim, 1.0 / np.sqrt(self.dim))
-            return vec.astype(np.float32)
-        return (vec / norm).astype(np.float32)
+        return vec.astype(np.float32)
 
 
 def extract_features(media: DataFrame, decoder: Decoder) -> DataFrame:
@@ -208,7 +223,10 @@ def extract_features(media: DataFrame, decoder: Decoder) -> DataFrame:
             shas: list[str] = []
             sizes: list[int] = []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                data = bytes(payload)
+                # a NULL payload (schema contract violated upstream) is a
+                # corrupt ROW, not a task failure: empty bytes flow into the
+                # same per-row isolation below (decode raises → feature=None)
+                data = b"" if payload is None else bytes(payload)
                 shas.append(hashlib.sha256(data).hexdigest())
                 sizes.append(len(data))
                 try:
@@ -253,12 +271,15 @@ def feature_dup_groups(features: DataFrame) -> DataFrame:
 
     Rows whose decode failed (``feature IS NULL``) are excluded — grouping
     them would weld every corrupt payload into one phantom "duplicate" group.
+    ``kind`` is part of the key: feature spaces of different modalities are
+    incommensurable, and cross-modality numeric collisions (a flat image vs
+    a steady tone) must not weld into one group (round-4 review).
 
     Scale shape: one hash-partitioned groupBy on a 16-float key — the same
     single narrow shuffle as exact text dedup (operators/exact.py)."""
     return (
         features.filter(F.col("feature").isNotNull())
-        .groupBy("feature")
+        .groupBy("kind", "feature")
         .agg(
             F.min("media_id").alias("min_media_id"),
             F.count(F.lit(1)).alias("n_media"),
@@ -268,10 +289,9 @@ def feature_dup_groups(features: DataFrame) -> DataFrame:
     )
 
 
-# 4x4 grayscale: the decoder's block-mean grid is 4x4, so decode is the
-# identity on the pixels (then L2-normalized) — feature equality ⇔ payload
-# equality up to exact positive scaling of the 16-byte vector, which for
-# sha256-derived pixels is a ~2^-120 event.
+# 4x4 grayscale: the decoder's area-mean grid is 4x4, so decode is exactly
+# the identity on the pixels (scaled by 1/255) — feature equality ⇔ payload
+# equality, no collision caveat.
 _PGM_HEADER = b"P5\n4 4\n255\n"
 
 
@@ -284,12 +304,15 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     other PGM) and identical text yields the byte-identical image, so media
     dedup over decoded features is checkable against a text-equality oracle.
     Pure Column expressions (sha2 → unhex → substring → concat): the
-    synthesis itself never leaves the JVM."""
+    synthesis itself never leaves the JVM.  NULL texts are dropped — sha2
+    propagates NULL into the payload, violating MEDIA_SCHEMA's non-null
+    payload contract and crashing the extractor's Arrow path (round-4
+    review); a NULL document is no image."""
     payload = F.concat(
         F.lit(bytearray(_PGM_HEADER)),
         F.substring(F.unhex(F.sha2(F.col("text"), 256)), 1, 16),
     )
-    return docs.select(
+    return docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.lit("image/x-portable-graymap").alias("mime"),

@@ -116,7 +116,41 @@ def test_image_features_are_resize_invariant():
     assert np.allclose(f_small, f_big, atol=1e-6)
     # a genuinely different image (reversed gradient) diverges
     f_rev = dec.decode("image", _pgm(8, 8, img[::-1, ::-1].copy()))
-    assert float(np.dot(f_small, f_rev)) < 0.9
+    assert not np.allclose(f_small, f_rev, atol=1e-3)
+    # area weighting: invariance holds even when the input is SMALLER than
+    # the 4x4 grid (floor-binning left empty cells and broke this)
+    tiny = np.array([[10, 200], [90, 160]])
+    tiny_up = np.repeat(np.repeat(tiny, 2, axis=0), 2, axis=1)
+    f_tiny = dec.decode("image", _pgm(2, 2, tiny))
+    f_tiny_up = dec.decode("image", _pgm(4, 4, tiny_up))
+    assert np.allclose(f_tiny, f_tiny_up, atol=1e-6)
+    # ...and a 3x (grid-misaligned) upscale of an 8x8 image
+    big3 = np.repeat(np.repeat(img, 3, axis=0), 3, axis=1)
+    assert np.allclose(f_small, dec.decode("image", _pgm(24, 24, big3)), atol=1e-6)
+
+
+def test_features_are_content_faithful_not_scale_invariant():
+    """Round-4 review: L2-normalizing the dedup key welded flat images with
+    silence and an image with its brightness-scaled copy.  Raw features keep
+    those distinct; cosine-threshold matching downstream remains the opt-in
+    brightness-invariant channel."""
+    import numpy as np
+
+    from cloud_dedup_spark.operators.multimodal import PnmWavDecoder
+
+    dec = PnmWavDecoder()
+    black = dec.decode("image", _pgm(4, 4, np.zeros((4, 4), dtype=int)))
+    white = dec.decode("image", _pgm(4, 4, np.full((4, 4), 255)))
+    gray = dec.decode("image", _pgm(4, 4, np.full((4, 4), 77)))
+    img = np.arange(16).reshape(4, 4) * 5
+    base = dec.decode("image", _pgm(4, 4, img))
+    bright3x = dec.decode("image", _pgm(4, 4, img * 3))
+    silence = dec.decode("audio", _wav(np.zeros(4000)))
+    feats = [tuple(f) for f in (black, white, gray, base, bright3x)]
+    assert len(set(feats)) == 5, "flat/scaled images must stay distinct"
+    assert np.allclose(black, 0.0) and np.allclose(silence, 0.0)
+    # black image vs silence DO collide numerically — the group key's kind
+    # column is what keeps them apart (test below drives it through Spark)
 
 
 def test_wav_energy_profile_localizes_the_tone():
@@ -213,5 +247,50 @@ def test_documents_as_media_roundtrip_dedup(spark):
         for r in feats.select("feature").collect()
     ]
     assert len(set(all_feats)) == 4
-    for f in all_feats:
-        assert np.isclose(float(np.linalg.norm(np.array(f))), 1.0, atol=1e-5)
+    # NULL text rows are dropped at synthesis, never a NULL payload downstream
+    docs_null = docs.unionByName(
+        spark.createDataFrame(
+            [(99, None, "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+    )
+    assert documents_as_media(docs_null).count() == 10
+    assert np is not None  # keep the vectorized-test import honest
+
+
+def test_cross_modality_features_never_weld(spark):
+    """A black image and digital silence decode to the numerically identical
+    zero vector; the group key's kind column must keep them apart."""
+    import numpy as np
+
+    from cloud_dedup_spark.operators.multimodal import (
+        PnmWavDecoder,
+        extract_features,
+        feature_dup_groups,
+    )
+
+    black = _pgm(4, 4, np.zeros((4, 4), dtype=int))
+    silence = _wav(np.zeros(4000))
+    rows = [
+        (0, "image", "image/x-portable-graymap", bytearray(black), 4, 4, None),
+        (1, "image", "image/x-portable-graymap", bytearray(black), 4, 4, None),
+        (2, "audio", "audio/wav", bytearray(silence), None, None, 500),
+        (3, "audio", "audio/wav", bytearray(silence), None, None, 500),
+        # a NULL payload (upstream contract violation — parquet can't enforce
+        # MEDIA_SCHEMA's non-null flag) is isolated per-row, not task-fatal,
+        # and never joins a group
+        (4, "image", "image/x-portable-graymap", None, 4, 4, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, payload binary, "
+        "meta_width int, meta_height int, meta_duration_ms int",
+    )
+    feats = extract_features(media, PnmWavDecoder())
+    assert feats.filter("media_id = 4").collect()[0]["feature"] is None
+    groups = sorted(
+        (r["min_media_id"], r["n_media"])
+        for r in feature_dup_groups(feats).collect()
+    )
+    # two groups of two — never one welded group of four (or five)
+    assert groups == [(0, 2), (2, 2)]
