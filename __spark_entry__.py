@@ -769,9 +769,12 @@ _ORACLES: dict[str, str] = {
     """,
     "user_sessions": """
         WITH ordered AS (
+          -- NULLS LAST explicit on both engines: Spark windows default to
+          -- NULLS FIRST, DuckDB to NULLS LAST — sessionize pins NULLS LAST
           SELECT user_id, event_id, value, epoch_us(ts) AS us,
                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS prev_us
+                                         ORDER BY ts NULLS LAST, event_id)
+                   AS prev_us
           FROM events
         ), flagged AS (
           SELECT user_id, event_id, value, us,
@@ -781,7 +784,7 @@ _ORACLES: dict[str, str] = {
         ), seq AS (
           SELECT user_id, value, us,
                  CAST(sum(new_sess) OVER (
-                   PARTITION BY user_id ORDER BY us, event_id
+                   PARTITION BY user_id ORDER BY us NULLS LAST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                  ) AS BIGINT) AS session_seq
           FROM flagged
@@ -792,12 +795,26 @@ _ORACLES: dict[str, str] = {
                round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS sum_value
         FROM seq GROUP BY 1, 2
     """,
+    # semantic twin of json_prop_buckets under ALL inputs, not just the clean
+    # generated data: json_valid guards DuckDB's hard error on malformed
+    # blobs (Spark's get_json_object returns NULL), the integer regex pins
+    # one cast semantic (DuckDB TRY_CAST rounds '7.5' to 8; Spark try_cast
+    # NULLs it), and ((k % n) + n) % n is Spark's pmod for negative k
     "event_prop_buckets": """
+        WITH extracted AS (
+          SELECT event_type, value,
+                 CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.k')
+                 END AS s
+          FROM events
+        )
         SELECT event_type,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               CASE WHEN regexp_matches(s, '^-?[0-9]+$')
+                    THEN ((TRY_CAST(s AS BIGINT) % 10) + 10) % 10
+               END AS k_bucket,
                count(*) AS n_events,
                round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS sum_value
-        FROM events
+        FROM extracted
         GROUP BY 1, 2
     """,
     # minhash_doc_clusters, lsh_ann_topk: non-SQL-expressible (seeded MinHash

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloud_dedup_spark.functions.agg import money_sum
+
 
 def sessionize(
     events: DataFrame,
@@ -53,15 +55,23 @@ def sessionize(
     currentRow)`` explicitly — the default RANGE frame would tie identical
     timestamps together.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # NULLS LAST explicitly: Spark windows default to NULLS FIRST, DuckDB
+    # (and most engines) to NULLS LAST — on a nullable ts column the default
+    # silently renumbers every session_seq for a user relative to the oracle
+    # (round-4 review).  A NULL-ts event sorts after all timed events and
+    # opens its own session (its lag diff is NULL).
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(order_tiebreak).asc_nulls_last()
+    )
     # TIMESTAMP_NTZ (the lake's storage type): pure wall-clock microsecond
     # arithmetic against the NTZ epoch — no session-timezone dependence, and
     # exactly DuckDB's epoch_us semantics for naive timestamps.  Regular
     # TIMESTAMP: unix_micros is the absolute instant.
     if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        # backtick-quoted: ts_col is caller-supplied and lands in SQL text
         us = F.expr(
             f"timestampdiff(MICROSECOND, "
-            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
         )
     else:
         us = F.unix_micros(F.col(ts_col))
@@ -81,12 +91,7 @@ def sessionize(
             F.min("_us").alias("start_us"),
             F.max("_us").alias("end_us"),
             F.count(F.lit(1)).alias("n_events"),
-            # decimal sum: order-independent to the cent regardless of the
-            # engine's partial-aggregation order (the supplier_part_span
-            # double-sum lesson)
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
     )
 
@@ -96,21 +101,29 @@ def json_prop_buckets(
     prop_path: str = "$.k",
     n_buckets: int = 10,
 ) -> DataFrame:
-    """Extract one numeric field from the ``props`` JSON column and roll up
-    (event_type, field % n_buckets) — count + value sum per bucket.
+    """Extract one integer field from the ``props`` JSON column and roll up
+    (event_type, pmod(field, n_buckets)) — count + value sum per bucket.
 
     ``get_json_object`` runs JVM-side (Jackson) inside codegen; a malformed
-    or missing field yields NULL, which lands in its own NULL bucket rather
-    than dropping the row (auditable, not silent).
+    blob, missing field, or NON-INTEGER value yields NULL, which lands in
+    its own NULL bucket rather than dropping the row (auditable, not
+    silent).  The integer gate is an explicit regex, not a bare cast: under
+    ANSI mode (Spark 4 default) ``cast('7.5' as bigint)`` is a runtime
+    CAST_INVALID_INPUT that would abort the whole job on one odd row, and
+    engines disagree on lenient casts (DuckDB TRY_CAST rounds '7.5' to 8) —
+    the regex pins one portable semantic.  ``pmod`` folds negatives into
+    [0, n_buckets); ``%`` would leak up to n_buckets-1 extra negative
+    buckets (round-4 review).
     """
-    k = F.get_json_object("props", prop_path).cast("bigint")
+    s = F.get_json_object("props", prop_path)
+    # try_cast behind the regex: a >19-digit integer still matches the regex
+    # but overflows bigint — NULL bucket, never an ANSI abort
+    k = F.when(s.rlike("^-?[0-9]+$"), s.try_cast("bigint"))
     return (
-        events.withColumn("k_bucket", k % n_buckets)
+        events.withColumn("k_bucket", F.pmod(k, F.lit(n_buckets)))
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
     )

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cloud_dedup_spark.functions.agg import money_sum
 from cloud_dedup_spark.functions.normalize import with_identity
 
 
@@ -99,9 +100,7 @@ def streaming_sessions(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             user_col,

@@ -93,7 +93,66 @@ def test_json_prop_buckets_extracts_and_isolates_malformed(spark):
 
 def test_sessionize_plan_has_single_exchange(spark):
     # the whole operator must cost ONE shuffle (hash partition by user_id);
-    # lag + running sum reuse the same sort, the aggregate is partial-merge
+    # lag + running sum reuse the same sort, the aggregate is partial-merge.
+    # Count TOTAL exchanges, not one substring: `<= 1` on a named key passed
+    # vacuously on plan-string drift and missed added exchanges on other
+    # keys (round-4 review).
     ev = _ev(spark, [(0, 1, 1.0, "{}"), (10, 2, 1.0, "{}")])
     plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == 1, plan
+    assert "Exchange hashpartitioning(user_id" in plan
+
+
+def test_json_prop_buckets_is_abort_proof_and_folds_negatives(spark):
+    """Round-4 review: non-integer k must bucket as NULL (not an ANSI
+    CAST_INVALID_INPUT job abort), negative k must fold into [0, n), and a
+    >19-digit integer must overflow to NULL, not abort."""
+    ev = _ev(
+        spark,
+        [
+            (0, 1, 1.0, '{"k": 7.5}'),      # non-integer → NULL bucket
+            (1, 1, 2.0, '{"k": "abc"}'),    # non-numeric string → NULL
+            (2, 1, 4.0, '{"k": -7}'),       # negative → pmod bucket 3
+            (3, 1, 8.0, '{"k": 99999999999999999999}'),  # bigint overflow
+            (4, 1, 16.0, '{"k": 13}'),      # plain → bucket 3
+        ],
+    )
+    out = {
+        r["k_bucket"]: r for r in json_prop_buckets(ev, n_buckets=10).collect()
+    }
+    assert set(out) == {None, 3}
+    assert out[None]["n_events"] == 3 and out[None]["sum_value"] == 11.0
+    assert out[3]["n_events"] == 2 and out[3]["sum_value"] == 20.0
+
+
+def test_sessionize_null_ts_sorts_last_and_opens_own_session(spark):
+    """NULLS LAST pinned on the window order (Spark's default is NULLS
+    FIRST, the oracle engine's is NULLS LAST): a NULL-ts event must not
+    renumber the user's timed sessions."""
+    ev = spark.createDataFrame(
+        [
+            (0, T0, 1, "c", 1.0, "{}"),
+            (1, None, 1, "c", 2.0, "{}"),
+            (2, T0 + datetime.timedelta(seconds=10), 1, "c", 4.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["session_seq"]: r for r in sessionize(ev, gap_seconds=1800).collect()}
+    # timed events stay session 1; the NULL-ts row sorts last, opens session 2
+    assert out[1]["n_events"] == 2 and out[1]["sum_value"] == 5.0
+    assert out[2]["n_events"] == 1 and out[2]["sum_value"] == 2.0
+    assert out[2]["start_us"] is None
+
+
+def test_sessionize_quoted_ts_col_on_ntz(spark):
+    """The NTZ branch interpolates ts_col into SQL text — it must be
+    backtick-quoted so caller-supplied names with spaces parse."""
+    ev = spark.createDataFrame(
+        [(0, T0, 1, "c", 1.0), (1, T0 + datetime.timedelta(seconds=5), 1, "c", 2.0)],
+        "event_id long, `event ts` timestamp_ntz, user_id long, "
+        "event_type string, value double",
+    )
+    out = sessionize(ev, gap_seconds=1800, ts_col="event ts").collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
