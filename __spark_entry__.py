@@ -116,12 +116,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_exact_text_dupes(spark, sf_dir):
-    return exact_text_duplicates(_docs_with_planted(spark, sf_dir)).select(
-        "fingerprint",
-        "n_docs",
-        "n_sources",
-        F.element_at("doc_ids", 1).alias("min_doc_id"),
-    )
+    return exact_text_duplicates(_docs_with_planted(spark, sf_dir))
 
 
 def q_prefix_fp_groups(spark, sf_dir):
@@ -502,6 +497,7 @@ _ORACLES: dict[str, str] = {
                count(DISTINCT source) AS n_sources,
                min(doc_id) AS min_doc_id
         FROM docs
+        WHERE text IS NOT NULL  -- NULL texts are not byte-identical dupes
         GROUP BY 1
         HAVING count(*) >= 2
     """,
@@ -525,6 +521,7 @@ _ORACLES: dict[str, str] = {
                count(DISTINCT source) AS n_sources,
                min(doc_id) AS min_doc_id
         FROM documents
+        WHERE text IS NOT NULL
         GROUP BY 1
         HAVING count(*) >= 2
     """,
@@ -597,7 +594,10 @@ _ORACLES: dict[str, str] = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_inter / (sa.n_ng + sb.n_ng - n_inter), 4) >= 0.5
+        -- RAW-ratio threshold, 4dp rounding for presentation only (mirrors
+        -- ngram_jaccard_pairs: rounding-then-filtering admitted sub-threshold
+        -- pairs within 5e-5 of the boundary)
+        WHERE n_inter / (sa.n_ng + sb.n_ng - n_inter) >= 0.5
     """,
     "text_profile": f"""
         WITH base AS (
@@ -649,9 +649,10 @@ _ORACLES: dict[str, str] = {
         WITH docs AS ({_DOCS_PLANTED_CTE}),
         fp AS (
           SELECT DISTINCT {_FP} AS fingerprint, source FROM docs
+          WHERE text IS NOT NULL
         )
         SELECT a.source AS source_a, b.source AS source_b,
-               count(DISTINCT a.fingerprint) AS n_shared
+               count(*) AS n_shared
         FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
         WHERE a.source < b.source
         GROUP BY 1, 2
@@ -660,6 +661,7 @@ _ORACLES: dict[str, str] = {
         WITH docs AS ({_DOCS_PLANTED_CTE}),
         fp AS (
           SELECT DISTINCT {_FP} AS fingerprint, source FROM docs
+          WHERE text IS NOT NULL
         ), sizes AS (
           SELECT source, count(*) AS n FROM fp GROUP BY 1
         ), shared AS (
@@ -679,14 +681,20 @@ _ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.source = s.source_a
         JOIN sizes sb ON sb.source = s.source_b
     """,
+    # conditional count, not anti-join-then-group: a fully-duplicated source
+    # must report 0, not vanish (mirrors unique_docs_per_source)
     "unique_docs": f"""
         WITH fp AS (
           SELECT doc_id, source, {_FP} AS fingerprint FROM documents
-        ), dup AS (
-          SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) >= 2
+          WHERE text IS NOT NULL
+        ), counted AS (
+          SELECT source,
+                 count(*) OVER (PARTITION BY fingerprint) AS cnt
+          FROM fp
         )
-        SELECT source, count(*) AS n_unique_docs
-        FROM fp WHERE fingerprint NOT IN (SELECT fingerprint FROM dup)
+        SELECT source,
+               count(*) FILTER (WHERE cnt = 1) AS n_unique_docs
+        FROM counted
         GROUP BY 1
     """,
     "ann_topk": """
@@ -757,10 +765,18 @@ _ORACLES: dict[str, str] = {
         fp AS (
           SELECT doc_id, length(text) AS n, {_FP} AS fingerprint FROM docs
         ), ranked AS (
+          -- surrogate key for NULL fingerprints (PARTITION BY welds NULLs):
+          -- each NULL-text doc is its own singleton group, mirroring
+          -- select_keepers; chr(1)-prefix cannot collide with md5 hex
           SELECT fingerprint, doc_id,
-                 row_number() OVER (PARTITION BY fingerprint
-                                    ORDER BY n DESC, doc_id ASC) AS rn,
-                 count(*) OVER (PARTITION BY fingerprint) AS n_docs
+                 row_number() OVER (
+                   PARTITION BY coalesce(fingerprint,
+                                         chr(1) || 'null:' || doc_id)
+                   ORDER BY n DESC, doc_id ASC) AS rn,
+                 count(*) OVER (
+                   PARTITION BY coalesce(fingerprint,
+                                         chr(1) || 'null:' || doc_id)
+                 ) AS n_docs
           FROM fp
         )
         SELECT fingerprint, doc_id AS keeper_doc_id, n_docs,

@@ -24,15 +24,23 @@ from cloud_dedup_spark.functions.text import doc_fingerprint
 def exact_text_duplicates(docs: DataFrame) -> DataFrame:
     """Byte-identical (modulo whitespace) duplicate groups with ≥2 docs.
 
-    Output: fingerprint, n_docs, n_sources, doc_ids (sorted).
+    Output: fingerprint, n_docs, n_sources, min_doc_id.  A representative
+    id, NOT the member array: collect_list over a viral duplicate group
+    (10^6 copies of one boilerplate page) is an unbounded single-executor
+    aggregation buffer — the same fan-in shape the df_cap guards exist to
+    prevent (round-4 review).  Members are retrievable by an equi-join on
+    fingerprint when a caller actually needs them — a streamable scan, not
+    a buffered array.  NULL-text docs are excluded: they are not
+    byte-identical to each other, and NULL groups as equal in both engines.
     """
     return (
-        docs.select(doc_fingerprint("text").alias("fingerprint"), "doc_id", "source")
+        docs.filter(F.col("text").isNotNull())
+        .select(doc_fingerprint("text").alias("fingerprint"), "doc_id", "source")
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("min_doc_id"),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -47,7 +55,8 @@ def prefix_fingerprint_groups(docs: DataFrame, k: int = 10) -> DataFrame:
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     fp = F.md5(F.array_join(F.slice(toks, 1, k), " "))
     return (
-        docs.select(fp.alias("prefix_fp"), "doc_id", "source")
+        docs.filter(F.col("text").isNotNull())
+        .select(fp.alias("prefix_fp"), "doc_id", "source")
         .groupBy("prefix_fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -121,33 +130,48 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_ng").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_ng").alias("n_b"))
+    # threshold on the RAW ratio; the 4dp rounding is presentation only —
+    # filtering on the rounded value admitted pairs up to 5e-5 BELOW the
+    # threshold (round(0.49995, 4) == 0.5), violating the ≥-threshold
+    # contract (round-4 review).  IEEE double division is bit-identical in
+    # the JVM and the oracle engine, so the boundary comparison is portable.
+    raw = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 4).alias("jaccard"))
     )
 
 
-def source_overlap_counts(docs: DataFrame) -> DataFrame:
-    """Per source pair: number of fingerprints present in both (A4 analog)."""
-    fp = docs.select(
-        doc_fingerprint("text").alias("fingerprint"), "source"
-    ).distinct()
+def _distinct_source_fps(docs: DataFrame) -> DataFrame:
+    """Distinct (fingerprint, source) pairs — the shared base of the overlap
+    operators.  NULL-text docs carry no fingerprint and are excluded."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(doc_fingerprint("text").alias("fingerprint"), "source")
+        .distinct()
+    )
+
+
+def _shared_fp_counts(fp: DataFrame) -> DataFrame:
+    """Per source pair (a < b): count of fingerprints present in both.  One
+    definition for both overlap operators (they had drifted into two copies,
+    one with a needless countDistinct over already-distinct rows —
+    round-4 review)."""
     a = fp.select("fingerprint", F.col("source").alias("source_a"))
     b = fp.select("fingerprint", F.col("source").alias("source_b"))
     return (
         a.join(b, "fingerprint")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.countDistinct("fingerprint").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def source_overlap_counts(docs: DataFrame) -> DataFrame:
+    """Per source pair: number of fingerprints present in both (A4 analog)."""
+    return _shared_fp_counts(_distinct_source_fps(docs))
 
 
 def source_set_relationships(docs: DataFrame) -> DataFrame:
@@ -162,18 +186,9 @@ def source_set_relationships(docs: DataFrame) -> DataFrame:
     shape as ``source_overlap_counts``: fan-out per fingerprint is bounded
     by n_sources², and the per-source size frame is broadcast-tiny).
     """
-    fp = docs.select(
-        doc_fingerprint("text").alias("fingerprint"), "source"
-    ).distinct()
+    fp = _distinct_source_fps(docs)
     sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = fp.select("fingerprint", F.col("source").alias("source_a"))
-    b = fp.select("fingerprint", F.col("source").alias("source_b"))
-    shared = (
-        a.join(b, "fingerprint")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    shared = _shared_fp_counts(fp)
     sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
     sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
     return (
@@ -196,25 +211,33 @@ def source_set_relationships(docs: DataFrame) -> DataFrame:
 
 def unique_docs_per_source(docs: DataFrame) -> DataFrame:
     """Docs whose fingerprint appears exactly once in the corpus, per source
-    (A5 analog: the left-anti-join unique count)."""
-    with_fp = docs.select("doc_id", "source", doc_fingerprint("text").alias("fingerprint"))
-    dups = (
-        with_fp.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("fingerprint")
+    (A5 analog).
+
+    Conditional count instead of the old anti-join-then-group: a source
+    whose every document is duplicated must report ``n_unique_docs = 0``,
+    not vanish from the output (a consumer could not tell a fully-duplicated
+    source from a missing one — round-4 review).  Same single shuffle on
+    fingerprint (window count) + one on source."""
+    with_fp = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", doc_fingerprint("text").alias("fingerprint")
     )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
     return (
-        with_fp.join(dups, "fingerprint", "left_anti")
+        with_fp.withColumn("_cnt", cnt)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+        .agg(
+            F.count(F.when(F.col("_cnt") == 1, F.lit(1))).alias("n_unique_docs")
+        )
     )
 
 
 def documents_as_files(docs: DataFrame) -> DataFrame:
     """Adapt the documents table to the pipeline's files(repo,path,...) shape
-    so the full MinHash/LSH/cluster engine runs on it unchanged."""
-    return docs.select(
+    so the full MinHash/LSH/cluster engine runs on it unchanged.  NULL-text
+    rows are dropped here — forwarded, they would NULL the content_sha256
+    identity column (breaking the per-row invariant) and weld into one bogus
+    exact group (round-4 review; same class as documents_as_media's guard)."""
+    return docs.filter(F.col("text").isNotNull()).select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
         F.lit("0").alias("commit"),
@@ -239,18 +262,28 @@ def select_keepers(docs: DataFrame) -> DataFrame:
     pick, in pure-SQL form for the DuckDB twin.
 
     Output: fingerprint, keeper_doc_id, n_docs, n_dropped.
+
+    NULL-text docs are each their own singleton group: window PARTITION BY
+    treats NULLs as equal, so partitioning on the bare fingerprint kept ONE
+    of all NULL-text docs and silently deleted the rest from the manifest
+    (round-4 review).  The surrogate key cannot collide with a real
+    fingerprint (md5 hex never contains a NUL byte).
     """
     ranked = docs.select(
         doc_fingerprint("text").alias("fingerprint"),
         "doc_id",
         F.length("text").alias("_n"),
     )
-    w = Window.partitionBy("fingerprint").orderBy(
+    pkey = F.coalesce(
+        F.col("fingerprint"),
+        F.concat(F.lit("\x00null:"), F.col("doc_id").cast("string")),
+    )
+    w = Window.partitionBy(pkey).orderBy(
         F.col("_n").desc(), F.col("doc_id").asc()
     )
     return (
         ranked.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy(pkey)))
         .filter(F.col("rn") == 1)
         .select(
             "fingerprint",

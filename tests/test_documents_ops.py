@@ -90,3 +90,48 @@ def test_select_keepers_policy_and_singletons(spark):
     assert (out[2]["n_docs"], out[2]["n_dropped"]) == (3, 2)
     assert (out[10]["n_docs"], out[10]["n_dropped"]) == (2, 1)
     assert (out[20]["n_docs"], out[20]["n_dropped"]) == (1, 0)
+
+
+def test_null_text_semantics_across_document_operators(spark):
+    """Round-4 review: NULL-text docs must never weld into one phantom
+    'duplicate' group (PARTITION/GROUP BY treats NULLs as equal), must not
+    be silently deleted by survivor selection, and must count toward no
+    unique-doc tally."""
+    from cloud_dedup_spark.operators.documents import (
+        documents_as_files,
+        exact_text_duplicates,
+        prefix_fingerprint_groups,
+        select_keepers,
+        source_overlap_counts,
+        unique_docs_per_source,
+    )
+
+    rows = [
+        _doc(1, "same body", "s1"),
+        _doc(2, "same body", "s2"),
+        _doc(3, "only here", "s1"),
+        (4, None, "en", "s1", 0),
+        (5, None, "en", "s2", 0),
+        (6, None, "en", "s3", 0),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    # exact dupes: only the real pair; never a 3-member NULL group
+    groups = exact_text_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 1
+    assert prefix_fingerprint_groups(docs).count() == 1
+    # keepers: NULL-text docs are singleton KEEPERS (manifest-complete),
+    # not collateral of one welded group
+    keepers = {r["keeper_doc_id"]: r for r in select_keepers(docs).collect()}
+    assert set(keepers) == {1, 3, 4, 5, 6}
+    assert keepers[4]["n_dropped"] == 0 and keepers[4]["n_docs"] == 1
+    # unique counts: a fully-duplicated source (s2) reports 0 instead of
+    # vanishing; a source with ONLY NULL-text docs (s3) contributes nothing
+    # to the dedup corpus and is rightly absent
+    uniq = {r["source"]: r["n_unique_docs"] for r in unique_docs_per_source(docs).collect()}
+    assert uniq == {"s1": 1, "s2": 0}
+    # overlap: NULL never a shared fingerprint
+    assert source_overlap_counts(docs).collect()[0]["n_shared"] == 1
+    # adapter: NULL text never reaches the pipeline's identity columns
+    assert documents_as_files(docs).filter("content IS NULL").count() == 0
+    assert documents_as_files(docs).count() == 3
