@@ -120,17 +120,22 @@ def fit_or_load_centroids(
     centers), so warm and cold paths return identical search results — pinned
     by tests/test_similarity.py::test_ivf_fit_once_search_twice.
 
-    Existence goes through the Hadoop FileSystem API (same discipline as
-    plans/pipeline.CheckpointStore.exists): a driver-local os.path check is
-    always False for hdfs:///s3a:// paths, which would silently refit
-    k-means on every call — the exact per-query refit this function exists
-    to avoid.
+    Existence goes through the shared Hadoop-FS probe (fsutil — one copy of
+    the _SUCCESS discipline with plans/pipeline.CheckpointStore.exists): a
+    driver-local os.path check is always False for hdfs:///s3a:// paths,
+    which would silently refit k-means on every call — the exact per-query
+    refit this function exists to avoid.
+
+    A loaded matrix whose cell count does not match ``n_cells`` (a stale
+    cache key pointing two configs at one path) is refit and overwritten,
+    never silently searched with the wrong quantizer (round-4 review).
     """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_SUCCESS")
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        return load_centroids(spark, path)
+    from cloud_dedup_spark.fsutil import hadoop_success_exists
+
+    if hadoop_success_exists(spark, path):
+        loaded = load_centroids(spark, path)
+        if loaded.shape[0] == n_cells:
+            return loaded
     centroids = fit_centroids(
         emb, n_cells, seed=seed, vec_col=vec_col,
         sample_fraction=sample_fraction, max_iter=max_iter,
@@ -196,15 +201,15 @@ def ivf_near_pairs(
     are dropped from candidate generation (the same bounded-recall/bounded-
     fan-out contract as cosine_near_pairs_lsh's bucket_cap).
     """
-    from cloud_dedup_spark.operators.similarity import cosine_udf as _cosine
-
     if centroids is None:
         centroids = fit_centroids(emb, n_cells, seed=seed, vec_col=vec_col)
     assign = cell_assign_udf(centroids, n_assign=n_assign)
+    # materialized once — feeds the cell-size branch and both self-join
+    # sides; uncut, each subtree re-runs the (rows × n_cells) centroid GEMM
     keyed = emb.select(
         F.col(id_col).alias("vid"),
         F.explode(assign(F.col(vec_col))).alias("cell"),
-    )
+    ).localCheckpoint()
     if cell_cap is not None:
         sizes = keyed.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
         keyed = keyed.join(
@@ -224,7 +229,7 @@ def ivf_near_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("score", F.round(_cosine(F.col("vec_a"), F.col("vec_b")), 4))
+        .withColumn("score", F.round(cosine_udf(F.col("vec_a"), F.col("vec_b")), 4))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

@@ -38,10 +38,17 @@ def cosine_col(a, b) -> F.Column:
 
     Expression form (interpreted lambda per element) — right for small pair
     counts; use ``cosine_udf`` for large self-joins (Arrow-vectorized,
-    ~50× faster per pair)."""
+    ~50× faster per pair).
+
+    Zero-norm vectors score -1.0 (similar to nothing), matching
+    ``cosine_udf``: the unguarded division returned NULL here but NaN in the
+    UDF — and Spark treats NaN as GREATER than every number, so a zero
+    vector passed every ``score >= threshold`` filter and ranked FIRST in
+    top-k, while the NULL path ranked it last (round-4 review)."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+    denom = F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd))
+    return F.when(denom == 0.0, F.lit(-1.0)).otherwise(_dot(ad, bd) / denom)
 
 
 def cosine_udf(a, b) -> F.Column:
@@ -58,7 +65,11 @@ def cosine_udf(a, b) -> F.Column:
         mb = np.vstack(xb.to_numpy()).astype(np.float64)
         dots = np.einsum("ij,ij->i", ma, mb)
         norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(dots / norms)
+        # zero-norm → -1.0, never NaN: Spark's total ordering puts NaN above
+        # every number, so an unguarded 0/0 made the zero vector pass every
+        # >= threshold filter and outrank every real neighbour
+        zero = norms == 0.0
+        return pd.Series(np.where(zero, -1.0, dots / np.where(zero, 1.0, norms)))
 
     return _cos(a, b)
 
@@ -165,7 +176,10 @@ def lsh_band_params(
     best = (2, max_bands)
     for r in (2, 3, 4, 6, 8, 10, 12, 16):
         pr = p**r
-        if pr >= 1.0:
+        # pr == 0 (threshold -1) or pr underflowing so 1-pr rounds to 1.0
+        # made log(1-pr) == 0 → ZeroDivisionError; such r values simply
+        # cannot reach the target recall with finite bands — skip them
+        if pr >= 1.0 or 1.0 - pr >= 1.0:
             continue
         b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
         if b <= max_bands:
@@ -235,10 +249,14 @@ def cosine_near_pairs_lsh(
     elif rows_per_band is None or n_bands is None:
         raise ValueError("pass both rows_per_band and n_bands, or neither")
     keys = hyperplane_band_keys_udf(n_bands, rows_per_band, seed)
+    # materialize the keyed frame once: it feeds the bucket-size branch and
+    # BOTH sides of the self-join, and without the cut each subtree re-runs
+    # the full-corpus hyperplane GEMM UDF (2-3× the projection work per
+    # invocation — round-4 review).  Narrow rows (id, key): cheap to store.
     keyed = emb.select(
         F.col(id_col).alias("vid"),
         F.explode(keys(F.col(vec_col))).alias("band_key"),
-    )
+    ).localCheckpoint()
     if bucket_cap is not None:
         sizes = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("n"))
         keyed = keyed.join(

@@ -67,10 +67,9 @@ class CheckpointStore:
         if self.location is None:
             return False
         # parquet success marker; Iceberg would use catalog tableExists
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(self._path(name) + "/_SUCCESS")
-        return path.getFileSystem(hconf).exists(path)
+        from cloud_dedup_spark.fsutil import hadoop_success_exists
+
+        return hadoop_success_exists(self.spark, self._path(name))
 
     def materialize(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Build → write → read back (or just read if already checkpointed).

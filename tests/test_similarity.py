@@ -247,3 +247,71 @@ def test_ivf_near_pairs_blocked_subset_no_cartesian(spark, emb_real):
     # near-isotropic corpus = the hard case for density blocking (the module
     # docstring says so); half the cells probed must still find over half
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_zero_norm_vectors_never_outrank_or_match(spark):
+    """Round-4 review: 0/0 cosine was NaN in the UDF path (NaN > everything
+    in Spark's total ordering → rank-1 false neighbour, passes every
+    threshold) and NULL in the expression path (ranked last) — the two
+    scorers disagreed on the identical degenerate input.  Both now score
+    zero-norm vectors -1.0: similar to nothing, ranked behind every real
+    neighbour, and consistent across brute/LSH/IVF."""
+    from cloud_dedup_spark.operators.ivf import ivf_near_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),   # zero-norm (a dead/defaulted embedding)
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    # expression path: zero vector ranks LAST with score -1.0, not NULL
+    got = brute_force_topk(emb, q, k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 3, 2]
+    assert got[-1]["score"] == -1.0
+    # UDF path (ivf_topk probing every cell = exhaustive): same ordering,
+    # no NaN rank-1 zero vector
+    got_ivf = ivf_topk(emb, q, k=3, n_cells=2, nprobe=2).collect()
+    assert [r["neighbor_id"] for r in got_ivf] == [1, 3, 2]
+    assert got_ivf[0]["neighbor_id"] == 1 and got_ivf[-1]["score"] == -1.0
+    # near-pairs (UDF path): the zero vector matches NOTHING at any real
+    # threshold — it must not appear as a false near-dup of every vector
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs_lsh(
+            emb, threshold=0.4, rows_per_band=2, n_bands=8
+        ).collect()
+    }
+    assert all(2 not in p for p in pairs)
+    pairs_ivf = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_near_pairs(emb, threshold=0.4, n_cells=2, n_assign=2).collect()
+    }
+    assert all(2 not in p for p in pairs_ivf)
+
+
+def test_lsh_band_params_extreme_thresholds_do_not_crash():
+    """pr == 0 (threshold -1) and pr-underflow (strongly negative
+    thresholds) made log(1-pr) zero → ZeroDivisionError (round-4 review)."""
+    for t in (-1.0, -0.99, -0.97, 0.0, 0.5, 1.0, 2.0):
+        r, b = lsh_band_params(t)
+        assert r >= 2 and b >= 1
+
+
+def test_quantizer_cache_refits_on_cell_count_mismatch(spark, tmp_path):
+    """A stale cache (same path, different n_cells config) must be refit and
+    overwritten, never silently searched with the wrong quantizer."""
+    from cloud_dedup_spark.operators.ivf import fit_or_load_centroids
+
+    emb = spark.read.parquet(SF_EMB)
+    path = str(tmp_path / "quant")
+    c16 = fit_or_load_centroids(spark, emb, n_cells=16, path=path, seed=42)
+    assert c16.shape[0] == 16
+    c8 = fit_or_load_centroids(spark, emb, n_cells=8, path=path, seed=42)
+    assert c8.shape[0] == 8
+    # and the overwrite is durable: a third call warm-loads the 8-cell matrix
+    import numpy as np
+
+    c8b = fit_or_load_centroids(spark, emb, n_cells=8, path=path, seed=42)
+    assert np.allclose(c8, c8b)
