@@ -16,17 +16,20 @@ Scale design (this is shuffle boundary #1, SURVEY.md §3):
       pass 1 — bucket sizes (cheap count per key);
       pass 2 — buckets ≤ cap take the all-pairs path; buckets > cap are
       **salted** into ⌈size/cap⌉ sub-groups; inside each salt group we emit a
-      *star over the group leader plus a neighbour chain* (2(size−1) edges,
-      linear not quadratic) and the per-salt leaders get the same star+chain
-      across salts, preserving bucket-level connectivity for the clustering
-      stage at O(size) total edges.  Salt assignment and within-group order
-      are keyed per (band, file), so each band retries a hot bucket with an
-      independent grouping — the probabilistic repair for edges an
-      adversarial ordering would lose to verification rejects (ROADMAP 12).
-    True duplicate families that land in a hot bucket remain connected
-    (star+chain) and each edge still passes exact verification; unrelated
-    files sharing only boilerplate produce edges that verification rejects —
-    which is exactly the desired outcome.
+      *star over the group leader plus a neighbour chain* (2(size−1)−1
+      edges, linear not quadratic) and the per-salt leaders get the same
+      star+chain across salts, preserving bucket-level connectivity for the
+      clustering stage at O(size) total edges.  Salt assignment is keyed per
+      (band, file) — each band partitions a hot bucket independently — and
+      the WITHIN-GROUP order is the band-rotated SimHash, so content-similar
+      members sort adjacent and a true pair in the same salt group gets a
+      direct chain edge with high probability (see the in-function comment
+      for the honest math; a random order gave such a pair only ~4/cap per
+      band).
+    Bucket-LEVEL connectivity always survives (star+chain); unrelated files
+    sharing only boilerplate produce edges that verification rejects — which
+    is exactly the desired outcome.  A small true family buried in a hot
+    bucket is the hard case; SimHash-locality ordering is what recovers it.
   * Exact-duplicate pre-collapse (operators/exact.py) runs before this stage,
     so identical bodies enter LSH once — the main skew source is gone before
     salting even matters.
@@ -49,7 +52,9 @@ _CHAIN = (
     "transform(slice(ids, 1, size(ids) - 1), (x, i) -> "
     "struct(x AS src, ids[i + 1] AS dst))"
 )
-# star over the min-id representative + consecutive chain: 2(size-1) edges.
+# star over the first-in-order representative + consecutive chain:
+# 2(size-1)-1 edges (the chain's first edge duplicates a star edge and is
+# skipped — the count the linearity test pins).
 # Either shape alone is order-brittle once verification rejects cross-family
 # edges inside a hot bucket: a chain a1–x–a2 splits the {a1,a2} family when
 # the interloper x sorts between them, and a star splits every family when x
@@ -70,6 +75,12 @@ _STAR_AND_CHAIN = (
 def explode_bands(sigs: DataFrame) -> DataFrame:
     """(file_id, band_key) rows; one per (file, band). Empty-signature files
     (empty content — reference empty-file fast path :250-252) never reach LSH."""
+    # band_key re-mixes the band index even though _band_hashes already did
+    # (signatures.py) — deliberately retained belt-and-braces: this value is
+    # the PERSISTED bands stage-table contract (incremental folds union
+    # prior_bands with fresh deltas), so changing either mix silently
+    # orphans every stored bucket key.  The cross-band-collision invariant's
+    # owner is THIS xxhash64; the arange-mix upstream is frozen with it.
     return (
         sigs.filter(F.col("n_shingles") > 0)
         .select("file_id", F.posexplode("band_hashes").alias("band_idx", "band_hash"))
@@ -118,27 +129,49 @@ def lsh_candidate_pairs(
     normal_pairs = _pairs_from_buckets(normal_buckets, _ALL_PAIRS)
 
     # --- hot buckets: salt → star+chain within salt → star+chain the reps ---
-    # Salt AND within-group order are keyed on xxhash64(band_key, file_id),
-    # not file_id alone: every one of the ~32 bands therefore partitions and
-    # orders a hot bucket INDEPENDENTLY.  A true pair that a rejected
-    # interloper disconnects in one band's grouping gets a fresh grouping in
-    # each other band, so the miss probability decays exponentially in the
-    # band count (with a per-corpus-wide salt the groupings were identical
-    # across bands and the redundancy was zero).
+    # Salt assignment is keyed on xxhash64(band_key, file_id), so every one
+    # of the ~32 bands PARTITIONS a hot bucket independently.  Within a salt
+    # group the order is the band-ROTATED SimHash, not a random hash —
+    # honest math (round-4 review): with random order, a true pair that
+    # lands in the same cap-sized group gets a direct star/chain edge with
+    # probability only ~4/cap (interloper edges are rejected by exact
+    # verification, so transitive paths don't save it), ≈1% over 32 bands at
+    # cap 64.  Near-dup docs have near-identical SimHashes (few differing
+    # bits), so whenever the band's rotation leaves their differing bits in
+    # the LOW positions (P ≈ 1 − n_diff_bits/64 per band, independent across
+    # bands because each band rotates by a different amount), the pair sorts
+    # ADJACENT in the group and gets the chain edge.  Rotation preserves
+    # Hamming structure; hashing would destroy exactly the locality this
+    # ordering exists to exploit.  Bucket connectivity never depends on it —
+    # star+chain keeps every group connected regardless of order.
+    # rotl(simhash, band_key mod 64); shift-by-64 wraps to 0 in the JVM so
+    # the rot==0 case degenerates to simhash|simhash == simhash, still exact
+    rotated_simhash = F.coalesce(
+        F.expr(
+            "shiftleft(simhash, cast(pmod(band_key, 64) as int)) | "
+            "shiftrightunsigned(simhash, cast(64 - pmod(band_key, 64) as int))"
+        ),
+        F.col("h"),  # files without a simhash fall back to the random order
+    )
     hot_bands = (
         tagged.filter(F.col("bucket_n").isNotNull())
+        .join(sigs.select("file_id", "simhash"), "file_id", "left")
         .withColumn("h", F.xxhash64("band_key", "file_id"))
         .withColumn(
             "salt",
             F.pmod(F.col("h"), F.ceil(F.col("bucket_n") / cap).cast("long")),
         )
+        .withColumn("ord", rotated_simhash)
     )
+    # materialized once: this aggregation (shuffle + per-group sort of every
+    # hot-bucket row) otherwise re-computes in both the salted-pairs and the
+    # rep-buckets plan branches (round-4 review)
     salt_buckets = hot_bands.groupBy("band_key", "salt").agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("h", "file_id"))),
+            F.sort_array(F.collect_list(F.struct("ord", "h", "file_id"))),
             lambda s: s["file_id"],
         ).alias("ids")
-    )
+    ).localCheckpoint()
     salted_pairs = _pairs_from_buckets(salt_buckets, _STAR_AND_CHAIN)
     rep_buckets = (
         salt_buckets.select("band_key", F.element_at("ids", 1).alias("rep"))

@@ -14,16 +14,35 @@ In the scaled engine this runs FIRST, before any shingling, for two reasons:
     LSH bucket) mostly disappears when identical bodies enter LSH once
     (SURVEY.md §7.4 item 1).
 
-Scale notes: one shuffle on ``content_sha256`` (a high-cardinality,
-well-distributed key — no salting needed); aggregation is map-side partial;
-columns are pruned to (hash, id, repo, path) before the shuffle.
+Scale notes: group stats come from a ``groupBy`` (map-side partial
+aggregation — one combined row per distinct sha leaves each mapper) joined
+back to the pruned (hash, id, repo, path) rows; a window over the sha
+partition was rejected because it cannot partially aggregate and funnels
+every row of the hottest sha through a single task's sort — the exact skew
+this module exists to defuse (round-4 review).  AQE's skew-join splitting
+(enabled in session.py) can split the join's hot partitions; it cannot
+split a window partition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import Window
+
+
+def _group_key() -> F.Column:
+    """Grouping key: the sha, or a per-row surrogate when it is NULL.
+
+    sha2(NULL content) is NULL, and both window partitions and groupBy treat
+    NULLs as equal — unguarded, every unreadable/NULL-content row welded
+    into ONE bogus 'byte-identical' family (round-4 review).  The surrogate
+    makes each such row its own singleton group (it proceeds to nothing:
+    singletons emit no edges).  A hex sha can never collide with the
+    NUL-prefixed surrogate."""
+    return F.coalesce(
+        F.col("content_sha256"),
+        F.concat(F.lit("\x00null:"), F.col("file_id").cast("string")),
+    )
 
 
 def exact_duplicate_clusters(files: DataFrame) -> DataFrame:
@@ -38,16 +57,24 @@ def exact_duplicate_clusters(files: DataFrame) -> DataFrame:
     ``is_exact_rep`` marks the representative row that proceeds to the
     near-dup stages.
     """
-    w = Window.partitionBy("content_sha256")
+    pruned = files.select("content_sha256", "file_id", "repo", "path").withColumn(
+        "_k", _group_key()
+    )
+    stats = pruned.groupBy("_k").agg(
+        F.min("file_id").alias("exact_group_id"),
+        F.count(F.lit(1)).alias("exact_group_size"),
+    )
     return (
-        files.select("content_sha256", "file_id", "repo", "path")
-        .withColumn("exact_group_id", F.min("file_id").over(w))
-        .withColumn("exact_group_size", F.count(F.lit(1)).over(w))
+        pruned.join(stats, "_k")
         .withColumn("is_exact_rep", F.col("file_id") == F.col("exact_group_id"))
+        .select(
+            "content_sha256", "file_id", "repo", "path",
+            "exact_group_id", "exact_group_size", "is_exact_rep",
+        )
     )
 
 
-def exact_duplicate_groups(files: DataFrame) -> DataFrame:
+def exact_duplicate_groups(files: DataFrame, member_cap: int = 1000) -> DataFrame:
     """Cluster-level view: one row per byte-identical group with ≥ 2 members.
 
     Reference analog: duplicate groups with ``content_match='identical'``
@@ -55,17 +82,41 @@ def exact_duplicate_groups(files: DataFrame) -> DataFrame:
     presence predicate (:326-327) — here ≥2 *files*, with the cross-repo span
     as a column (`n_repos`) instead of a filter, so single-repo exact dups
     remain visible to the rollups.
+
+    ``members`` holds at most ``member_cap`` members (the first by
+    (repo, path) order); counts always cover the full group.  Uncapped,
+    collect_list over a mega-group (millions of identical lockfiles) builds
+    an unbounded single-buffer array — the same fan-in shape every other
+    rollup here caps (round-4 review).
     """
-    return (
-        files.groupBy("content_sha256")
+    key = _group_key()
+    stats = files.withColumn("_k", key).groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("repo").alias("n_repos"),
+        F.min("file_id").alias("exact_group_id"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    w = Window.partitionBy("_k").orderBy("repo", "path")
+    members = (
+        files.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= member_cap)
+        .groupBy("_k")
         .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.countDistinct("repo").alias("n_repos"),
-            F.min("file_id").alias("exact_group_id"),
-            F.sort_array(F.collect_list(F.struct("repo", "path"))).alias("members"),
-            F.min("n_bytes").alias("n_bytes"),
+            F.sort_array(F.collect_list(F.struct("repo", "path"))).alias("members")
         )
+    )
+    return (
+        stats.join(members, "_k")
         .filter(F.col("n_files") >= 2)
+        .withColumn(
+            "content_sha256",
+            F.when(~F.col("_k").startswith("\x00"), F.col("_k")),
+        )
+        .select(
+            "content_sha256", "n_files", "n_repos",
+            "exact_group_id", "members", "n_bytes",
+        )
     )
 
 

@@ -17,9 +17,13 @@ Design for scale:
     checkpoint footprint; exact-Jaccard verification on hashed shingles is
     exact w.r.t. the hashed sets and within ~1e-7 of token-true Jaccard for
     realistic set sizes.
-  * MinHash uses the universal family h_i(x) = (a_i·x + b_i) mod p with
-    p = 2^61 − 1, a_i,b_i < 2^31 and x < 2^32, so every product fits in
-    uint64 — fully vectorized, no Python bigints.
+  * MinHash (universal mode) uses h_i(x) = ((a_i·x + b_i) wrap 2^64) mod p
+    with p = 2^61 − 1 and a_i, b_i drawn uniform in [1, p): the products
+    DELIBERATELY wrap mod 2^64 before the mod-p reduction — the wraparound
+    is a mixing step, and the family is pinned empirically min-wise
+    unbiased (see ``_hash_params``; a 'small-a no-wrap' variant measurably
+    over-estimated Jaccard and was rejected).  Fully vectorized, no Python
+    bigints.
   * Band hashes are emitted here (not at candidate time) so the LSH stage is
     a pure JVM explode+groupBy with zero additional Python.
 
@@ -118,11 +122,21 @@ def _shingle_hashes_from(th: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n < k:
-        # short doc: one shingle over all tokens
+        # short doc: ONE rolling hash over all tokens — but emitted as BOTH
+        # 32-bit halves (a 2-element set), keeping full 64-bit
+        # discrimination.  A single folded value gave two unrelated short
+        # docs hashed-Jaccard 1.0 with probability 2^-32 — at 10^6
+        # short files that is ~hundreds of expected false 'duplicate' pairs
+        # that verification cannot reject, because it scores the same
+        # folded sets (round-4 review).  Identical docs still share both
+        # halves (J = 1.0); a half-collision yields J ≤ 1/3, far below any
+        # accept threshold.
         acc = np.zeros(1, dtype=np.uint64)
         for j in range(n):
             acc = acc * _SHINGLE_MULT + th[j : j + 1]
-        sh = acc
+        return np.unique(
+            np.concatenate([acc >> np.uint64(32), acc & np.uint64(0xFFFFFFFF)])
+        )
     else:
         m = n - k + 1
         acc = np.zeros(m, dtype=np.uint64)
@@ -139,9 +153,24 @@ def _shingle_hashes(tokens: list[str], k: int, cache: dict[str, int]) -> np.ndar
 
 
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """sig[i] = min over x of ((a_i·x + b_i) mod 2^64) mod p — (n_hashes,) int64."""
-    vals = (a[:, None] * shingles[None, :] + b[:, None]) % np.uint64(MERSENNE_P)
-    return vals.min(axis=1).astype(np.int64)
+    """sig[i] = min over x of ((a_i·x + b_i) mod 2^64) mod p — (n_hashes,) int64.
+
+    Chunked over the shingle axis: the full (num_hashes × n_shingles)
+    product matrix is ~1 KB/shingle at 128 hashes — a single 2M-shingle file
+    (one 10 MB generated source) would allocate gigabytes inside the UDF
+    (round-4 review).  min is associative, so the running minimum over
+    64k-shingle chunks is bit-identical to the one-shot matrix."""
+    p = np.uint64(MERSENNE_P)
+    step = 65536
+    if len(shingles) <= step:
+        vals = (a[:, None] * shingles[None, :] + b[:, None]) % p
+        return vals.min(axis=1).astype(np.int64)
+    out = np.full(len(a), p - np.uint64(1), dtype=np.uint64)
+    for i in range(0, len(shingles), step):
+        chunk = shingles[i : i + step]
+        vals = (a[:, None] * chunk[None, :] + b[:, None]) % p
+        np.minimum(out, vals.min(axis=1), out=out)
+    return out.astype(np.int64)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:

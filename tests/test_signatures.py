@@ -96,8 +96,18 @@ def test_simhash_hamming_small_for_near_edit():
 
 def test_empty_and_short_content():
     assert _shingle_hashes([], CFG.shingle_size, {}).size == 0
-    # shorter than one shingle still yields exactly one shingle
-    assert _shingle_hashes(["a", "b"], CFG.shingle_size, {}).size == 1
+    # shorter than one shingle: ONE rolling hash, emitted as its two 32-bit
+    # halves so short docs keep full 64-bit discrimination (a single folded
+    # value collides two unrelated short docs at 2^-32 with an unrejectable
+    # hashed-Jaccard of 1.0 — round-4 review)
+    short = _shingle_hashes(["a", "b"], CFG.shingle_size, {})
+    assert short.size == 2
+    # identical short docs share both halves (J=1); different short docs
+    # share neither
+    short2 = _shingle_hashes(["a", "b"], CFG.shingle_size, {})
+    other = _shingle_hashes(["a", "c"], CFG.shingle_size, {})
+    assert (short == short2).all()
+    assert len(np.intersect1d(short, other)) == 0
     assert _simhash([], {}) == 0
 
 
@@ -132,3 +142,24 @@ def test_exact_dup_files_get_identical_signatures(sigs, corpus):
     assert a["minhash"] == b["minhash"]
     assert a["simhash"] == b["simhash"]
     assert a["band_hashes"] == b["band_hashes"]
+
+
+def test_minhash_chunking_is_bit_identical():
+    """The chunked universal-minhash path (shingle-axis chunks, round-4
+    review: the one-shot matrix was ~1KB/shingle) must equal the direct
+    formula exactly."""
+    from cloud_dedup_spark.config import MERSENNE_P
+    from cloud_dedup_spark.operators.signatures import _hash_params, _minhash
+
+    a, b = _hash_params(CFG)
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 2**32, size=70_000).astype(np.uint64)  # > chunk step
+    direct = ((a[:, None] * big[None, :] + b[:, None]) % np.uint64(MERSENNE_P)).min(
+        axis=1
+    ).astype(np.int64)
+    assert (direct == _minhash(big, a, b)).all()
+    small = big[:100]
+    direct_s = ((a[:, None] * small[None, :] + b[:, None]) % np.uint64(MERSENNE_P)).min(
+        axis=1
+    ).astype(np.int64)
+    assert (direct_s == _minhash(small, a, b)).all()
