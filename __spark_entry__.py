@@ -610,9 +610,9 @@ _ORACLES: dict[str, str] = {
         SELECT doc_id,
                n_tokens,
                len(regexp_extract_all(low, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subwords,
-               round(CASE WHEN len(regexp_extract_all(low, '\\S')) = 0 THEN 0.0
-                    ELSE len(regexp_extract_all(low, '[^a-z0-9\\s]'))
-                         / len(regexp_extract_all(low, '\\S')) END, 4) AS punct_ratio,
+               round(CASE WHEN len(regexp_replace(low, '\\s', '', 'g')) = 0 THEN 0.0
+                    ELSE len(regexp_replace(low, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+                         / len(regexp_replace(low, '\\s', '', 'g')) END, 4) AS punct_ratio,
                round(CASE WHEN n_tokens = 0 THEN 0.0
                     ELSE len(list_filter(toks, x -> x IN ({_STOPS}))) / n_tokens
                     END, 4) AS stopword_ratio,
@@ -631,9 +631,9 @@ _ORACLES: dict[str, str] = {
                round(
                  0.4 * (CASE WHEN n_tokens >= 50 THEN 1.0 WHEN n_tokens >= 10 THEN 0.7
                              WHEN n_tokens >= 3 THEN 0.3 ELSE 0.0 END)
-                 + 0.3 * (1.0 - round(CASE WHEN len(regexp_extract_all(low, '\\S')) = 0 THEN 0.0
-                         ELSE len(regexp_extract_all(low, '[^a-z0-9\\s]'))
-                              / len(regexp_extract_all(low, '\\S')) END, 4))
+                 + 0.3 * (1.0 - round(CASE WHEN len(regexp_replace(low, '\\s', '', 'g')) = 0 THEN 0.0
+                         ELSE len(regexp_replace(low, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+                              / len(regexp_replace(low, '\\s', '', 'g')) END, 4))
                  + 0.3 * (CASE
                      WHEN round(CASE WHEN n_tokens = 0 THEN 0.0
                           ELSE len(list_filter(toks, x -> x IN ({_STOPS}))) / n_tokens END, 4)

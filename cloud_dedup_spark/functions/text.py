@@ -51,11 +51,20 @@ def subword_count(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Punctuation chars / non-space chars, 4dp; 0 when no content."""
+    """Punctuation chars / non-space chars, 4dp; 0 when no content.
+
+    Punctuation = not a Unicode letter/digit/space (``\\p{L}\\p{N}``, same
+    classes in Java regex and the oracle's RE2): the old ASCII class
+    ``[^a-z0-9\\s]`` counted every CJK/Cyrillic/accented LETTER as
+    punctuation, flooring quality_score to near-zero for exactly the
+    languages language_id detects (round-4 review).  Counting is
+    length(regexp_replace(...)) — the regexp_extract_all form materialized a
+    per-character string array (10^6 single-char strings for a 1 MB doc),
+    twice per call."""
     c = F.col(col) if isinstance(col, str) else col
     low = F.lower(c)
-    punct = F.size(F.regexp_extract_all(low, F.lit(r"[^a-z0-9\s]"), 0))
-    nonspace = F.size(F.regexp_extract_all(low, F.lit(r"\S"), 0))
+    punct = F.length(F.regexp_replace(low, r"[\p{L}\p{N}\s]", ""))
+    nonspace = F.length(F.regexp_replace(low, r"\s", ""))
     return F.round(
         F.when(nonspace == 0, F.lit(0.0)).otherwise(punct / nonspace), 4
     )

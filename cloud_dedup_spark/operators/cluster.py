@@ -24,7 +24,7 @@ does this when given a checkpoint location).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,14 +39,23 @@ def connected_components(
     ``edges``: (src, dst) long pairs.  ``vertices``: optional (file_id) frame;
     vertices absent from any edge keep themselves as their label (singleton
     clusters).  Returns (file_id, cluster_id).
+
+    Edge endpoints are always unioned into the vertex set: a ``vertices``
+    frame missing a bridge endpoint silently split its component (the inner
+    join dropped the bridge's edges) — the touched-component caller upholds
+    "members cover every endpoint" only by construction across many joins,
+    and one future edit there must not corrupt labels (round-4 review).
+    Extra endpoint labels are harmless to callers that join labels back onto
+    their own member list.
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    endpoints = sym.select(F.col("src").alias("file_id"))
     if vertices is None:
-        verts = sym.select(F.col("src").alias("file_id")).distinct()
+        verts = endpoints.distinct()
     else:
-        verts = vertices.select("file_id").distinct()
+        verts = vertices.select("file_id").unionByName(endpoints).distinct()
 
     labels = verts.withColumn("cluster_id", F.col("file_id")).localCheckpoint()
     sym = sym.localCheckpoint()
@@ -113,7 +122,7 @@ def cluster_assignments(
     ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("file_id")))
 
 
-def cluster_summary(assignments: DataFrame) -> DataFrame:
+def cluster_summary(assignments: DataFrame, member_cap: int = 1000) -> DataFrame:
     """Per-cluster aggregates — reference group fields analog
     (size, repo span, representative; src/cloud_duplicate_analyzer.py:412-428
     builds rel_path/matches/service_details per group).
@@ -124,16 +133,33 @@ def cluster_summary(assignments: DataFrame) -> DataFrame:
     them together could alias a quarantined file into a real cluster's row.
     Dropping them here makes that aliasing impossible — a quarantined file is
     by construction never a member of any duplicate cluster.
+
+    ``members`` holds at most ``member_cap`` members (first by (repo, path));
+    counts and the ``repos`` set always cover the full cluster.  Uncapped,
+    a mega-cluster (millions of identical lockfiles arriving through the
+    exact star edges) materialized an unbounded single-buffer array — the
+    fan-in shape exact_duplicate_groups caps one stage earlier (round-4
+    review).  ``repos`` is a distinct-set column (bounded by repo count, not
+    file count) so rollups never need the full member list.
     """
     if "quarantined" in assignments.columns:
         assignments = assignments.filter(~F.col("quarantined"))
+    w = Window.partitionBy("cluster_id").orderBy("repo", "path")
+    capped = assignments.withColumn("_rn", F.row_number().over(w))
     return (
-        assignments.groupBy("cluster_id")
+        capped.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.countDistinct("repo").alias("n_repos"),
             F.min(F.struct("file_id", "repo", "path")).alias("representative"),
-            F.sort_array(F.collect_list(F.struct("repo", "path"))).alias("members"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") <= member_cap, F.struct("repo", "path")
+                    )
+                )
+            ).alias("members"),
+            F.sort_array(F.collect_set("repo")).alias("repos"),
         )
         .filter(F.col("n_files") >= 2)
     )

@@ -245,11 +245,17 @@ def pairwise_repo_counts(clusters: DataFrame) -> DataFrame:
             struct(x AS repo_a, y AS repo_b))))
         """
     )
-    return (
-        clusters.select(
-            "cluster_id",
-            F.sort_array(F.array_distinct(F.transform(F.col("members"), lambda m: m["repo"]))).alias("repos"),
+    # cluster_summary's dedicated repos set (bounded by repo count) — never
+    # the member list, which is capped and would under-count mega-clusters
+    repos_col = (
+        F.col("repos")
+        if "repos" in clusters.columns
+        else F.sort_array(
+            F.array_distinct(F.transform(F.col("members"), lambda m: m["repo"]))
         )
+    )
+    return (
+        clusters.select("cluster_id", repos_col.alias("repos"))
         .select("cluster_id", F.explode(repo_pairs).alias("p"))
         .groupBy(F.col("p.repo_a").alias("repo_a"), F.col("p.repo_b").alias("repo_b"))
         .agg(F.count(F.lit(1)).alias("n_clusters"))

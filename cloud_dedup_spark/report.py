@@ -33,6 +33,7 @@ from cloud_dedup_spark.operators.rollup import (
 # only the TOP slices of the stage tables into the report so the collect
 # stays bounded at any corpus size.  Raise via build_report kwargs if needed.
 MAX_GROUP_DETAILS = 200
+MAX_MEMBERS_PER_GROUP = 1000
 MAX_TREE_FOLDERS = 500
 MAX_TREE_FILES = 5000
 
@@ -122,14 +123,29 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
         if "quarantined" in assignments.columns
         else assignments
     )
+    # per-group member arrays are capped like cluster_summary's: the LIMIT
+    # bounds how many groups reach the driver, but an uncapped collect_list
+    # still buffered a mega-cluster's millions of members in one aggregation
+    # task before the limit applied (round-4 review)
+    from pyspark.sql import Window as _W
+
+    _rn = F.row_number().over(
+        _W.partitionBy("cluster_id").orderBy("repo", "path")
+    )
     group_details_rows = (
         drill.join(cls.select("file_id", "kind"), "file_id", "left")
+        .withColumn("_rn", _rn)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.countDistinct("repo").alias("n_repos"),
             F.sort_array(
-                F.collect_list(F.struct("repo", "path", "kind"))
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") <= MAX_MEMBERS_PER_GROUP,
+                        F.struct("repo", "path", "kind"),
+                    )
+                )
             ).alias("members"),
         )
         .filter(F.col("n_files") >= 2)

@@ -63,3 +63,30 @@ def test_fingerprint_whitespace_insensitive(spark):
 def test_quality_bounds(profiled):
     for r in profiled.values():
         assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_punct_ratio_is_unicode_letter_aware(spark):
+    """Round-4 review: the ASCII class counted every CJK/Cyrillic/accented
+    LETTER as punctuation, flooring quality for exactly the languages
+    language_id detects."""
+    from cloud_dedup_spark.functions.text import punct_ratio, quality_score
+
+    df = spark.createDataFrame(
+        [(1, "Héllo, 世界! Привет мир."), (2, "plain english text, no drama.")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            punct_ratio("text").alias("p"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    # 4 punctuation chars (, ! . and one more .) over the non-space chars —
+    # far below the 1.0 the ASCII class produced
+    assert out[1]["p"] < 0.25
+    assert out[2]["p"] < 0.1
+    # a clean non-Latin doc must not score WORSE than empty text on the
+    # punctuation component (the old floor)
+    assert out[1]["q"] > 0.15
