@@ -17,10 +17,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Line comments for the langs in the corpus (py/js/go/md): `# ...` and `// ...`;
-# block comments /* ... */.  Good-enough lexical stripping — a full parser is
-# out of scope and the reference has no analog (it never looks at content
-# structure at all).
+# Comment stripping is deliberately UNIFORM across languages — an explicit
+# tradeoff, weighed in round 4 and decided for uniformity:
+#   * per-lang stripping (strip '#' for py/sh only, so md HEADINGS survive)
+#     was implemented and REJECTED: it breaks cross-language verbatim
+#     containment — a go/js snippet embedded in an md README normalizes
+#     differently on the two sides, so the substring channel can no longer
+#     find the plant (pinned by test_substring's corpus truth, which failed
+#     under the per-lang variant).  Code-in-docs is a common real
+#     containment; heading-only-different md docs welding as near-dups is
+#     the lesser cost — for training-data dedup, "same body, different
+#     title" is usually exactly the template-instance near-dup one wants
+#     collapsed, and the exact channel still separates them byte-wise.
+#   * the reference has no analog either way (it never inspects content
+#     structure).
 _BLOCK_COMMENT = r"/\*[\s\S]*?\*/"
 _LINE_COMMENT = r"(?m)(#|//).*$"
 _WS_RUN = r"\s+"

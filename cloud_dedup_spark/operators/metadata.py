@@ -27,9 +27,19 @@ from pyspark.sql import functions as F
 
 from cloud_dedup_spark.config import MetaConfig
 
-# worst-case precedence ranks — reference rank dicts (:334-335)
+# worst-case precedence ranks — reference rank dicts (:333-334:
+# content different > unverified > identical; version conflict > phantom >
+# diverged > same).  The symlink statuses are ranked too (target_diverged >
+# target_identical): the reference short-circuits symlink groups on the
+# FIRST pair, but a declarative worst-case fold must not let the default-0
+# alphabetical tiebreak report 'target_identical' for a group with diverged
+# targets (round-4 review).
 _CONTENT_RANK = "CASE content_match WHEN 'different' THEN 3 WHEN 'unverified' THEN 2 WHEN 'identical' THEN 1 ELSE 0 END"
-_VERSION_RANK = "CASE version_status WHEN 'phantom' THEN 3 WHEN 'diverged' THEN 2 WHEN 'same' THEN 1 ELSE 0 END"
+_VERSION_RANK = (
+    "CASE version_status WHEN 'conflict' THEN 5 WHEN 'phantom' THEN 4 "
+    "WHEN 'diverged' THEN 3 WHEN 'target_diverged' THEN 2 "
+    "WHEN 'target_identical' THEN 1 ELSE 0 END"
+)
 
 
 def classify_pair_columns(
@@ -111,7 +121,10 @@ def candidate_pairs(files_meta: DataFrame, cfg: MetaConfig | None = None) -> Dat
     if cfg.skip_hidden:
         # P1: names starting with '.' (and .DS_Store, P2) never match
         base = base.filter(~F.col("name").startswith("."))
-    base = base.filter(F.col("name") != ".ds_store")
+    # P2 is CASE-SENSITIVE on the original name (reference :148-149 skips
+    # exactly '.DS_Store'); matching the lowercased column dropped files
+    # literally named '.ds_store' that the reference keeps (round-4 review)
+    base = base.filter(F.col("name_orig") != ".DS_Store")
     firsts = _first_hit_per_key(base, ["name", "size"])
 
     lhs = firsts.select(
@@ -134,8 +147,10 @@ def duplicate_groups_meta(
 ) -> DataFrame:
     """Stage-4 analog: fold classified pairs into per-(name,size) groups.
 
-    Routing mirrors :430-433: groups whose worst-case content_match is
-    'identical' are duplicates; 'different'/'unverified' are conflicts;
+    Routing mirrors :430-433 exactly: ONLY 'different' groups are conflicts —
+    'identical' AND 'unverified' are duplicates (with use_checksum=False
+    every group is 'unverified', and routing those to conflicts reported
+    zero duplicates where the reference reports them all — round-4 review);
     symlink/mixed groups routed by their own labels (:349-389).
     Output: name, size, n_services, services, content_match, version_status,
     newest_in, age_difference_days, group_kind.
@@ -184,8 +199,8 @@ def duplicate_groups_meta(
             "group_kind",
             F.when(F.col("content_match") == "mixed_type", F.lit("conflict"))
             .when(F.col("content_match") == "symlink", F.lit("symlink"))
-            .when(F.col("content_match") == "identical", F.lit("duplicate"))
-            .otherwise(F.lit("conflict")),
+            .when(F.col("content_match") == "different", F.lit("conflict"))
+            .otherwise(F.lit("duplicate")),  # identical AND unverified
         )
         .drop("_max_mtime", "_min_mtime")
     )
@@ -194,17 +209,29 @@ def duplicate_groups_meta(
 
 def pair_stats_pivot(files_meta: DataFrame, cfg: MetaConfig | None = None) -> DataFrame:
     """A11: per service pair, counts by content_match category (the report's
-    section-2 stats, :877-899) — a pivot over the classified pairs.
+    section-2 stats, :877-899) — counting GROUPS, not raw pair verdicts.
 
-    Output: service_a, service_b, n_pairs, plus one count column per
-    content_match value seen (identical / different / unverified / symlink /
-    mixed_type).
+    The reference buckets each GROUP containing both services by the group's
+    worst-case content_match (dup_in_pair / conf_in_pair, :881-899); counting
+    raw pairs double-booked heterogeneous groups under their best pair (a
+    group folding to 'different' still contributed its internal 'identical'
+    pair to that cell — round-4 review).
+
+    Output: service_a, service_b, n_pairs (groups spanning the pair), plus
+    one count column per content_match value (identical / different /
+    unverified / symlink / mixed_type).
     """
-    pairs = candidate_pairs(files_meta, cfg)
+    groups = duplicate_groups_meta(files_meta, cfg)
+    pair_expr = F.expr(
+        "flatten(transform(services, (x, i) -> "
+        "transform(slice(services, i + 2, size(services)), "
+        "y -> struct(x AS service_a, y AS service_b))))"
+    )
     return (
-        pairs.select(
-            F.col("a.service").alias("service_a"),
-            F.col("b.service").alias("service_b"),
+        groups.select(F.explode(pair_expr).alias("p"), "content_match")
+        .select(
+            F.col("p.service_a").alias("service_a"),
+            F.col("p.service_b").alias("service_b"),
             "content_match",
         )
         .groupBy("service_a", "service_b")
@@ -225,13 +252,23 @@ def mixed_type_second_pass(
 ) -> DataFrame:
     """J4: re-join unhandled rows across services on rel_path to catch
     file-vs-symlink pairs whose sizes (-1 vs real) defeated the (name,size)
-    block (:435-482).  ``handled``: DataFrame of (name, size) keys already
-    grouped.  Output: classified rel_path pairs (mixed-type conflicts only).
+    block (:435-482).
+
+    ``handled``: DataFrame with a ``rel_path`` column — the rel_paths of
+    already-emitted groups/symlinks (the reference's ``already_handled`` set,
+    :439-443, holds REL_PATHS, one per group).  The old (name,size)-key
+    anti-join removed a row because its key was grouped at a DIFFERENT
+    rel_path, silently dropping the file-vs-symlink conflict at the row's
+    own path (round-4 review).  Output: classified rel_path pairs
+    (mixed-type conflicts only).
     """
     cfg = cfg or MetaConfig()
-    leftover = files_meta.join(handled, ["name", "size"], "left_anti").withColumn(
+    handled_rp = handled.select(
+        F.lower("rel_path").alias("rel_path_lower")
+    ).distinct()
+    leftover = files_meta.withColumn(
         "rel_path_lower", F.lower("rel_path")
-    )
+    ).join(handled_rp, "rel_path_lower", "left_anti")
     lhs = leftover.select("rel_path_lower", F.struct(*_PAIR_FIELDS).alias("a"))
     rhs = leftover.select("rel_path_lower", F.struct(*_PAIR_FIELDS).alias("b"))
     pairs = lhs.join(rhs, "rel_path_lower").filter(

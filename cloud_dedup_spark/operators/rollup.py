@@ -38,7 +38,14 @@ def with_folder_name(files: DataFrame, path_col: str = "path") -> DataFrame:
 
 
 def _ancestors_incl_self() -> F.Column:
-    """array of ancestor prefixes of `folder`, deepest last, root '' excluded."""
+    """array of ancestor prefixes of `folder`, deepest last, root '' excluded.
+
+    Root exclusion is reference-exact on BOTH consumers: presence at the
+    root counts DIRECT files only (the reference's descendant test uses the
+    prefix "./", which no folder string starts with, :576-580), and the
+    ancestor loop skips "." (:568-570).  The root's subtree-over-ALL-folders
+    semantics (:659-661) is handled as an explicit special case in
+    ``subtree_rollup``, not here."""
     fp = F.split(F.col("folder"), "/")
     return F.when(F.col("folder") == "", F.array()).otherwise(
         F.transform(
@@ -75,13 +82,16 @@ def folder_comparisons(files: DataFrame) -> DataFrame:
     """Per-folder cross-repo relationship — reference folder analysis stage 8.
 
     Output: folder, n_repos, repos_present, relationship
-    ('unique' | 'identical' | 'subset' | 'superset' | 'overlap' | 'mixed'),
+    ('unique' | 'identical' | 'subset/superset' | 'overlap'),
     names_in_all, total_unique_files.
 
-    Pairwise set relations fold per the reference (:597-622): all pairs
-    identical → identical; any overlap → overlap; one-sided containments →
-    subset/superset; conflicting directions → mixed.
-    """
+    Pairwise set relations fold with the reference's EXACT vocabulary and
+    precedence (:611-618): all pairs identical → identical; any overlap →
+    overlap; otherwise any subset or superset relation (in either or BOTH
+    directions) → the single value 'subset/superset' — the reference has no
+    'mixed'/'subset'/'superset' buckets, and inventing them made the A7
+    histogram and the report's folder section disagree with the reference
+    (round-4 review)."""
     presence = folder_presence(files)
     sets = folder_name_sets(files)
     # (folder × present repo) grid; repos present only via descendants get ∅
@@ -118,14 +128,11 @@ def folder_comparisons(files: DataFrame) -> DataFrame:
         )
         .when(F.array_contains("pair_rels", "overlap"), F.lit("overlap"))
         .when(
-            F.size(F.array_except("pair_rels", F.array(F.lit("identical"), F.lit("subset")))) == 0,
-            F.lit("subset"),
+            F.array_contains("pair_rels", "subset")
+            | F.array_contains("pair_rels", "superset"),
+            F.lit("subset/superset"),
         )
-        .when(
-            F.size(F.array_except("pair_rels", F.array(F.lit("identical"), F.lit("superset")))) == 0,
-            F.lit("superset"),
-        )
-        .otherwise(F.lit("mixed"))
+        .otherwise(F.lit("overlap"))  # reference fallback (:617-618)
     )
     in_all = F.expr(
         "sort_array(aggregate(slice(repo_sets, 2, size(repo_sets)), "
@@ -172,13 +179,17 @@ def folder_detail_rows(files: DataFrame) -> DataFrame:
           transform(slice(repos, i + 2, size(repos)), y -> concat(x, '+', y))))
         """
     )
+    # single-repo names FIRST: in a folder present in only one repo, a name
+    # is trivially "in all present repos", but the reference labels it
+    # '<repo>_only' with in_all=[] (:590-596) — the in_all-first order
+    # mislabeled every unique folder's file list (round-4 review)
     details = (
         F.when(
-            F.size("repos") == F.col("n_repos_present"), F.array(F.lit("in_all"))
-        )
-        .when(
             F.size("repos") == 1,
             F.array(F.concat(F.element_at("repos", 1), F.lit("_only"))),
+        )
+        .when(
+            F.size("repos") == F.col("n_repos_present"), F.array(F.lit("in_all"))
         )
         .otherwise(pair_labels)
     )
@@ -191,23 +202,46 @@ def subtree_rollup(fc: DataFrame) -> DataFrame:
     """Roll folder relationships up each ancestor chain (J5 + A8).
 
     Input: folder_comparisons output.  Output: folder, subtree_status
-    ('identical' | 'unique' | 'mixed'), subtree_total_files, n_descendants.
-    A folder's subtree is itself + all descendant folders; statuses fold as
-    all-identical → identical, all-unique → unique, else mixed (:667-680).
+    ('unique' | 'identical' | 'overlap' | 'partial'), subtree_total_files,
+    n_descendants.  A folder's subtree is itself + all descendant folders;
+    statuses fold with the reference's exact ladder (:667-680): all-unique →
+    unique, all-identical → identical, any-overlap → overlap, else partial
+    (the old single 'mixed' bucket collapsed the reference's overlap/partial
+    split — round-4 review).
     """
     exploded = fc.select(
         F.explode(_ancestors_incl_self()).alias("ancestor"),
         "relationship",
         "total_unique_files",
     )
-    return exploded.groupBy(F.col("ancestor").alias("folder")).agg(
-        F.when(F.min(F.col("relationship") == "identical"), F.lit("identical"))
-        .when(F.max(F.col("relationship") != "unique") == False, F.lit("unique"))  # noqa: E712
-        .otherwise(F.lit("mixed"))
+    all_unique = F.min(F.col("relationship") == "unique")
+    all_identical = F.min(F.col("relationship") == "identical")
+    any_overlap = F.max(F.col("relationship") == "overlap")
+    aggs = [
+        F.when(all_unique, F.lit("unique"))
+        .when(all_identical, F.lit("identical"))
+        .when(any_overlap, F.lit("overlap"))
+        .otherwise(F.lit("partial"))
         .alias("subtree_status"),
         F.sum("total_unique_files").alias("subtree_total_files"),
         F.count(F.lit(1)).alias("n_descendants"),
+    ]
+    non_root = exploded.groupBy(F.col("ancestor").alias("folder")).agg(*aggs)
+    # root special case (reference :659-661): when fc HAS a root row (files
+    # directly at root), its subtree spans ALL folder comparisons — the
+    # ancestor explode cannot express "descendant of root" because root is
+    # not a string prefix of anything
+    root = (
+        fc.withColumn("ancestor", F.lit(""))
+        .groupBy(F.col("ancestor").alias("folder"))
+        .agg(*aggs)
+        .join(
+            fc.filter(F.col("folder") == "").select("folder").distinct(),
+            "folder",
+            "left_semi",
+        )
     )
+    return non_root.unionByName(root)
 
 
 def safe_dedup_roots(rollup: DataFrame) -> DataFrame:
@@ -219,6 +253,9 @@ def safe_dedup_roots(rollup: DataFrame) -> DataFrame:
     """
     identical = rollup.filter(F.col("subtree_status") == "identical").select("folder")
     fp = F.split(F.col("folder"), "/")
+    # root '' never suppresses descendants — reference-exact quirk: its
+    # '(root)' label never string-prefix-matches `path.startswith(other+'/')`
+    # (:688-691), so an identical root AND an identical child are BOTH roots
     proper_ancestors = F.when(F.size(fp) <= 1, F.array()).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(fp) - 1),

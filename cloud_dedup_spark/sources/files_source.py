@@ -58,10 +58,9 @@ def read_files(
     (partition pruning + file skipping apply); parquet gets row-group pruning
     for the same predicates.
     """
-    if table_format == "iceberg":
-        df = spark.read.format("iceberg").load(location)
-    else:
-        df = spark.read.format(table_format).load(location)
+    # one load path for every format — iceberg/parquet/orc differ only in
+    # the format string (the old if/else had byte-identical branches)
+    df = spark.read.format(table_format).load(location)
     df = validate_files_schema(df)
     if skip_hidden:
         # P1/P2 analog: no path segment starts with '.'

@@ -177,8 +177,79 @@ def test_mixed_type_second_pass(spark):
              symlink_target="/elsewhere")
     df = spark.createDataFrame([f, s], SCHEMA)
     assert candidate_pairs(df).count() == 0  # primary channel misses
-    handled = candidate_pairs(df).select("name", "size").distinct()
+    handled = spark.createDataFrame([], "rel_path string")
     rows = mixed_type_second_pass(df, handled).collect()
     assert len(rows) == 1
     assert rows[0]["content_match"] == "mixed_type"
     assert rows[0]["version_status"] == "conflict"
+
+
+def test_mixed_type_pass_excludes_by_rel_path_not_name_size(spark):
+    """Round-4 review (reference :439-450): exclusion is by handled
+    REL_PATH.  s2's file shares a handled (name,size) key — grouped at a
+    DIFFERENT rel_path — but its own rel_path is unhandled, so its conflict
+    with s3's symlink there must still be emitted."""
+    rows = [
+        _rec("s1", rel_path="x/a.txt", size=5),
+        _rec("s2", rel_path="y/a.txt", size=5),   # grouped with s1 at key (a.txt, 5)
+        _rec("s3", rel_path="y/a.txt", size=-1, is_symlink=True,
+             symlink_target="/t"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # the (name,size) group's rel_path is its first record's (reference
+    # g['rel_path']): x/a.txt — y/a.txt stays unhandled
+    handled = spark.createDataFrame([("x/a.txt",)], "rel_path string")
+    out = mixed_type_second_pass(df, handled).collect()
+    assert len(out) == 1
+    assert {out[0]["a"]["service"], out[0]["b"]["service"]} == {"s2", "s3"}
+
+
+def test_unverified_groups_are_duplicates_not_conflicts(spark):
+    """Reference :430-433: only 'different' routes to conflicts — with
+    use_checksum=False every group is 'unverified' and must still be
+    reported as a duplicate (round-4 review: routing them to conflict
+    reported ZERO duplicates in no-checksum mode)."""
+    from cloud_dedup_spark.config import MetaConfig
+
+    df = spark.createDataFrame([_rec("a"), _rec("b")], SCHEMA)
+    row = duplicate_groups_meta(df, MetaConfig(use_checksum=False)).first()
+    assert row["content_match"] == "unverified"
+    assert row["group_kind"] == "duplicate"
+
+
+def test_symlink_group_worst_case_is_target_diverged(spark):
+    """A 3-service symlink group with one diverged target must fold to
+    'target_diverged' — the unranked alphabetical tiebreak picked
+    'target_identical' (round-4 review)."""
+    rows = [
+        _rec("s1", size=-1, is_symlink=True, symlink_target="/x"),
+        _rec("s2", size=-1, is_symlink=True, symlink_target="/y"),
+        _rec("s3", size=-1, is_symlink=True, symlink_target="/y"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    row = duplicate_groups_meta(df).first()
+    assert row["version_status"] == "target_diverged"
+    assert row["group_kind"] == "symlink"
+
+
+def test_ds_store_filter_is_case_sensitive(spark):
+    """Reference :148-149 skips exactly '.DS_Store'; a file literally named
+    '.ds_store' is kept (skip_hidden=False)."""
+    from cloud_dedup_spark.config import MetaConfig
+
+    def raw(service, rel_path, name_orig, size):
+        return (service, rel_path, name_orig.lower(), name_orig, size, 1000.0,
+                False, None, "aaaa")
+
+    rows = [
+        raw("a", "d/.ds_store", ".ds_store", 100),
+        raw("b", "d/.ds_store", ".ds_store", 100),
+        raw("a", "e/.DS_Store", ".DS_Store", 200),
+        raw("b", "e/.DS_Store", ".DS_Store", 200),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    cfg = MetaConfig(skip_hidden=False)
+    kept = candidate_pairs(df, cfg).collect()
+    # the literal .ds_store pair survives; the true .DS_Store rows are skipped
+    assert len(kept) == 1
+    assert kept[0]["a"]["rel_path"] == "d/.ds_store"

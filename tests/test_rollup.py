@@ -46,7 +46,7 @@ def test_relationship_identical_subset_overlap_unique(spark):
         # identical: same names both repos
         ("ra", "ident/x.py"), ("ra", "ident/y.py"),
         ("rb", "ident/x.py"), ("rb", "ident/y.py"),
-        # subset/superset: ra ⊂ rb
+        # subset/superset: ra ⊂ rb (reference vocabulary :611-618)
         ("ra", "sub/x.py"),
         ("rb", "sub/x.py"), ("rb", "sub/y.py"),
         # overlap: shared + each side extra
@@ -57,7 +57,7 @@ def test_relationship_identical_subset_overlap_unique(spark):
     ])
     fc = _fc_map(folder_comparisons(df))
     assert fc["ident"]["relationship"] == "identical"
-    assert fc["sub"]["relationship"] in ("subset", "superset")
+    assert fc["sub"]["relationship"] == "subset/superset"
     assert fc["ovl"]["relationship"] == "overlap"
     assert fc["solo"]["relationship"] == "unique"
     assert fc["ident"]["names_in_all"] == ["x.py", "y.py"]
@@ -70,7 +70,7 @@ def test_empty_vs_nonempty_direct_set_is_containment(spark):
     df = _files(spark, [("ra", "a/f.py"), ("rb", "a/deep/g.py")])
     fc = _fc_map(folder_comparisons(df))
     assert fc["a"]["n_repos"] == 2
-    assert fc["a"]["relationship"] in ("subset", "superset")
+    assert fc["a"]["relationship"] == "subset/superset"
 
 
 def test_detail_rows(spark):
@@ -116,7 +116,7 @@ def test_subtree_rollup_and_safe_roots(spark):
     got = {r["folder"]: r["subtree_status"] for r in roll.collect()}
     assert got["vendor"] == "identical"
     assert got["vendor/lib"] == "identical"
-    assert got["mix"] == "mixed"
+    assert got["mix"] == "partial"
     assert got["mix/only"] == "unique"
     # highest-level-only: vendor reported, vendor/lib suppressed
     roots = {r["folder"] for r in safe_dedup_roots(roll).collect()}
@@ -162,3 +162,34 @@ def test_corpus_unique_subtree_is_unique(spark, corpus):
     # and the identical-subtree plant compares identical at its prefix
     row2 = fc.filter(fc["folder"] == truth.identical_subtree_prefix).first()
     assert row2 is not None and row2["relationship"] == "identical"
+
+
+def test_root_subtree_spans_all_folders_when_root_has_files(spark):
+    """Reference :659-661: a '(root)' comparison row (files directly at the
+    root) gets a subtree over ALL folders; and per the reference's
+    string-prefix quirk (:688-691) an identical root does NOT suppress
+    identical descendants in safe roots."""
+    df = _files(spark, [
+        ("ra", "top.py"), ("rb", "top.py"),            # direct root files
+        ("ra", "v/a.py"), ("rb", "v/a.py"),            # identical child
+        ("ra", "u/only.py"),                            # unique child
+    ])
+    fc = folder_comparisons(df)
+    assert fc.filter("folder = ''").count() == 1       # root row exists
+    roll = subtree_rollup(fc)
+    got = {r["folder"]: r for r in roll.collect()}
+    # root's subtree covers root + v + u = all three comparisons
+    assert got[""]["n_descendants"] == 3
+    assert got[""]["subtree_status"] == "partial"      # identical + unique mix
+    assert got["v"]["subtree_status"] == "identical"
+    # no root row without direct root files
+    df2 = _files(spark, [("ra", "v/a.py"), ("rb", "v/a.py")])
+    assert subtree_rollup(folder_comparisons(df2)).filter("folder = ''").count() == 0
+    # identical root does not suppress identical descendants (quirk parity)
+    df3 = _files(spark, [
+        ("ra", "r.py"), ("rb", "r.py"),
+        ("ra", "v/a.py"), ("rb", "v/a.py"),
+    ])
+    roots = {r["folder"] for r in
+             safe_dedup_roots(subtree_rollup(folder_comparisons(df3))).collect()}
+    assert roots == {"", "v"}
