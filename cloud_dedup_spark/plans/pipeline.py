@@ -46,6 +46,16 @@ from cloud_dedup_spark.operators.substring import substring_edge_list, substring
 from cloud_dedup_spark.operators.verify import accepted_edges, verify_pairs
 
 
+def config_fingerprint(cfg: DedupConfig) -> str:
+    """Canonical JSON of the config — the checkpoint-store resume guard key
+    (human-readable on purpose: the marker file doubles as a record of what
+    the stage tables were built with)."""
+    import dataclasses
+    import json
+
+    return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+
+
 class CheckpointStore:
     """Stage-table store: write-once, read-back, skip-if-present."""
 
@@ -66,10 +76,44 @@ class CheckpointStore:
     def exists(self, name: str) -> bool:
         if self.location is None:
             return False
-        # parquet success marker; Iceberg would use catalog tableExists
-        from cloud_dedup_spark.fsutil import hadoop_success_exists
+        from cloud_dedup_spark.fsutil import (
+            hadoop_path_exists,
+            hadoop_success_exists,
+        )
 
+        if self.table_format == "iceberg":
+            # path-based Iceberg tables (HadoopTables) commit via the
+            # metadata directory and write no _SUCCESS — probing the marker
+            # made iceberg-mode resume silently never fire (round-4 review)
+            return hadoop_path_exists(self.spark, f"{self._path(name)}/metadata")
         return hadoop_success_exists(self.spark, self._path(name))
+
+    def guard_config(self, fingerprint: str) -> None:
+        """Refuse to resume stage tables written under a DIFFERENT config.
+
+        Stage skip is keyed by name alone, so without this a crash → config
+        edit → re-run silently mixed stages built under different shingle/
+        band/threshold settings (e.g. NEW thresholds applied to OLD
+        signatures — wrong pairs, no error; round-4 review).  The
+        fingerprint marker is written once per store location; a mismatch
+        is a hard error telling the user to pick a fresh checkpoint dir (or
+        delete the stale one).  A torn marker write also mismatches —
+        fail-safe."""
+        if self.location is None:
+            return
+        from cloud_dedup_spark.fsutil import read_text, write_text
+
+        marker = f"{self.location}/_dedup_config.json"
+        existing = read_text(self.spark, marker)
+        if existing is None:
+            write_text(self.spark, marker, fingerprint)
+        elif existing != fingerprint:
+            raise ValueError(
+                f"checkpoint dir {self.location} holds stage tables built "
+                f"under a different DedupConfig; resuming would mix stages "
+                f"across configs. Use a fresh checkpoint_dir or delete the "
+                f"old one.\n  stored: {existing}\n  current: {fingerprint}"
+            )
 
     def materialize(self, name: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Build → write → read back (or just read if already checkpointed).
@@ -105,22 +149,31 @@ def run_pipeline(
     """
     cfg = cfg or DedupConfig()
     store = CheckpointStore(spark, checkpoint_dir, table_format)
+    store.guard_config(config_fingerprint(cfg))
     metrics = RunMetrics()
 
     # Parallelism guard: a narrow input (few parquet splits, small
     # createDataFrame) would serialize the normalize + signature stages —
     # measured as a hard scaling ceiling (the whole pipeline inherited 2
     # partitions from a 250 MB corpus file).  One up-front round-robin
-    # shuffle is cheap next to the per-file CPU work it unlocks; skipped
-    # when the source is already wide (the 100 TB case).
+    # shuffle is cheap next to the per-file CPU work it unlocks — but it
+    # moves the CONTENT column, so it must fire only for genuinely narrow
+    # inputs: the threshold is capped at 64 splits, not defaultParallelism
+    # (a multi-TB source in 4000 splits on an 8000-core cluster must NOT
+    # round-robin every content byte; 32 MB scan splits in session.py widen
+    # real reads long before this guard — round-4 review).
     par = spark.sparkContext.defaultParallelism
-    if files.rdd.getNumPartitions() < par:
+    if files.rdd.getNumPartitions() < min(par, 64):
         files = files.repartition(par * 2)
 
     def stage(name: str, build: Callable[[], DataFrame]) -> DataFrame:
         t0 = time.time()
         df = store.materialize(name, build)
-        metrics.record(name, time.time() - t0, df if track_rows else None,
+        # collect_partition_stats implies the per-stage stats job even when
+        # row counting is off — the two flags are independent (round-4
+        # review: partition stats silently vanished under track_rows=False)
+        probe = df if (track_rows or collect_partition_stats) else None
+        metrics.record(name, time.time() - t0, probe,
                        with_partitions=collect_partition_stats)
         return df
 
@@ -148,7 +201,7 @@ def run_pipeline(
     # graph stages, so a birthday collision (E ≈ 27k pairs at 10^12 files)
     # can never silently merge two unrelated files into one cluster node.
     # Quarantined files re-enter the output as flagged singletons.
-    clean_identity, quarantined_split = quarantine_id_collisions(identity)
+    _, quarantined_split = quarantine_id_collisions(identity)
     # quarantine is PERSISTED state (round-4): the incremental fold's
     # collision check is delta-anchored — it inspects only identity rows
     # sharing a delta file_id — which is sound only if every collision among
@@ -156,6 +209,16 @@ def run_pipeline(
     # construction: E ≈ 27k colliding pairs at 10^12 files, so it broadcasts
     # everywhere it is used).
     quarantined = stage("quarantine", lambda: quarantined_split)
+    # clean identity derives from the MATERIALIZED quarantine table, not the
+    # detection lineage: embedding quarantine_id_collisions' full-table
+    # groupBy in clean_identity's plan re-ran the collision shuffle inside
+    # every consuming stage (exact, cluster_labels); one broadcast anti-join
+    # against the tiny persisted table replaces it (round-4 review)
+    clean_identity = identity.join(
+        F.broadcast(quarantined.select("file_id").distinct()),
+        "file_id",
+        "left_anti",
+    )
 
     exact = stage("exact", lambda: exact_duplicate_clusters(clean_identity))
 
@@ -237,7 +300,11 @@ def run_pipeline(
         ),
     )
 
-    clusters = cluster_summary(assignments)
+    # a stage like any other: build_report consumes clusters three times
+    # (count, size histogram, pairwise repo counts) — unmaterialized, each
+    # collect re-ran the window + groupBy over all assignments (round-4
+    # review)
+    clusters = stage("clusters", lambda: cluster_summary(assignments))
 
     return {
         "identity": identity,

@@ -39,8 +39,31 @@ MAX_TREE_FILES = 5000
 
 # strongest-edge ranking for the per-file classification symbol
 # (exact ★ > substring ↪ > near ✓; reference _file_sym decision ladder,
-# src/cloud_duplicate_analyzer.py:719-734)
+# src/cloud_duplicate_analyzer.py:719-734).  SINGLE owner of the ladder:
+# every rank/decode expression below derives from these two dicts — the
+# same mapping used to be hardcoded in four separate when-chains, so adding
+# an edge kind could silently misclassify in whichever copy was missed
+# (round-4 review).
 _KIND_RANK = {"exact": 3, "substring": 2, "near": 1}
+_RANK_KIND = {v: k for k, v in _KIND_RANK.items()}
+
+
+def _rank_expr(col: str) -> F.Column:
+    """kind/edge_kind string → rank int, from the one ladder."""
+    expr = None
+    for kind, rank in _KIND_RANK.items():
+        cond = F.col(col) == kind
+        expr = F.when(cond, rank) if expr is None else expr.when(cond, rank)
+    return expr
+
+
+def _kind_expr(col: str) -> F.Column:
+    """rank int → kind string, from the one ladder."""
+    expr = None
+    for rank, kind in _RANK_KIND.items():
+        cond = F.col(col) == rank
+        expr = F.when(cond, kind) if expr is None else expr.when(cond, kind)
+    return expr
 
 
 def file_classifications(identity: DataFrame, edges: DataFrame) -> DataFrame:
@@ -50,20 +73,13 @@ def file_classifications(identity: DataFrame, edges: DataFrame) -> DataFrame:
     files with no duplicate edge).  The strongest incident edge wins — the
     graft's analog of the reference's (content_match × version_status)
     classification cells (:719-734)."""
-    rank = F.when(F.col("edge_kind") == "exact", 3).when(
-        F.col("edge_kind") == "substring", 2
-    ).otherwise(1)
+    rank = F.coalesce(_rank_expr("edge_kind"), F.lit(_KIND_RANK["near"]))
     incident = (
         edges.select(F.col("src").alias("file_id"), rank.alias("rank"))
         .unionByName(edges.select(F.col("dst").alias("file_id"), rank.alias("rank")))
         .groupBy("file_id")
         .agg(F.max("rank").alias("rank"))
-        .withColumn(
-            "kind",
-            F.when(F.col("rank") == 3, "exact")
-            .when(F.col("rank") == 2, "substring")
-            .otherwise("near"),
-        )
+        .withColumn("kind", F.coalesce(_kind_expr("rank"), F.lit("near")))
         .select("file_id", "kind")
     )
     return identity.select("file_id", "repo", "path").join(
@@ -103,7 +119,11 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
         r["repo"]: r["n_unique_files"]
         for r in unique_file_counts(assignments).collect()
     }
-    fc = folder_comparisons(identity.select("repo", "path"))
+    # multi-consumer frames materialized once: fc feeds the histogram, the
+    # subtree rollup AND the fc_rows collect; cls feeds the tree rows and
+    # the group-detail join — unmaterialized, each collect re-ran the double
+    # explode / classification joins (round-4 review)
+    fc = folder_comparisons(identity.select("repo", "path")).localCheckpoint()
     rel_hist = {
         r["relationship"]: r["n_folders"]
         for r in relationship_histogram(fc).collect()
@@ -114,7 +134,7 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
     # ---- drill-down detail (reference sections 4/5 per-group tables and the
     # nested folder tree, :1041-1386) — paged from the stage tables with
     # driver-safe caps, never the raw corpus
-    cls = file_classifications(identity, edges)
+    cls = file_classifications(identity, edges).localCheckpoint()
     # quarantined singletons never join a drill-down group: their file_id2
     # labels are not structurally disjoint from graph cluster ids, so a
     # label collision would alias them into a real group's member list
@@ -174,18 +194,14 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
         .groupBy("folder", "name")
         .agg(
             F.countDistinct("repo").alias("n_repos"),
-            F.max(
-                F.when(F.col("kind") == "exact", 3)
-                .when(F.col("kind") == "substring", 2)
-                .when(F.col("kind") == "near", 1)
-            ).alias("rank"),
+            F.max(_rank_expr("kind")).alias("rank"),
         )
         .orderBy("folder", "name")
         .limit(MAX_TREE_FILES)
         .collect()
     )
     folder_files: dict[str, list] = {}
-    rank_to_kind = {3: "exact", 2: "substring", 1: "near"}
+    rank_to_kind = _RANK_KIND
     for r in tree_files_rows:
         folder_files.setdefault(r["folder"], []).append(
             {
@@ -228,8 +244,13 @@ def build_report(result: dict, scan_warnings: list[str] | None = None) -> dict:
     }
 
 
-def write_report(result: dict, path: str) -> dict:
-    report = build_report(result)
+def write_report(
+    result: dict, path: str, scan_warnings: list[str] | None = None
+) -> dict:
+    """JSON sink.  ``scan_warnings`` must be threaded here by the caller —
+    without the parameter the written report always claimed a clean scan
+    even when ingest anomalies existed (round-4 review)."""
+    report = build_report(result, scan_warnings=scan_warnings)
     with open(path, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True, default=str)
     return report

@@ -222,6 +222,13 @@ def _incremental_dedup_update(
     clean_first_attempt = n_delta == n_raw
 
     store = CheckpointStore(spark, loc, table_format)
+    # same resume guard as the batch pipeline: folding a delta with a
+    # DIFFERENT config into existing stage tables would mix signature
+    # families silently (pre-guard checkpoints have no marker and adopt the
+    # current config's)
+    from cloud_dedup_spark.plans.pipeline import config_fingerprint
+
+    store.guard_config(config_fingerprint(cfg))
     # one-time migrations for checkpoints written before these stage tables
     # existed — the only folds that pay an O(corpus) derivation
     if not store.exists("quarantine"):

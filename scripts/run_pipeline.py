@@ -43,11 +43,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="cloud-dedup-pipeline", master=args.master)
     try:
+        warnings: list[str] = []
         if args.synthetic:
             from cloud_dedup_spark.corpus import corpus_df
             files, _ = corpus_df(spark, args.synthetic, seed=42)
         elif args.input:
+            from cloud_dedup_spark.sources.files_source import scan_warnings
             files = read_files(spark, args.input, table_format=args.format)
+            warnings = scan_warnings(files)
         else:
             p.error("one of --input / --synthetic is required")
 
@@ -57,9 +60,9 @@ def main(argv: list[str] | None = None) -> int:
             collect_partition_stats=args.partition_stats,
         )
         if args.report:
-            report = write_report(result, args.report)
+            report = write_report(result, args.report, scan_warnings=warnings)
         else:
-            report = build_report(result)
+            report = build_report(result, scan_warnings=warnings)
         print(json.dumps(
             {k: report[k] for k in
              ("total_files", "n_clusters", "edge_kinds", "per_repo_files")},

@@ -127,3 +127,19 @@ def test_checkpoint_resumability(spark, corpus, tmp_path_factory):
     labels3 = {(r["repo"], r["path"]): r["cluster_id"]
                for r in res3["assignments"].collect()}
     assert labels1 == labels3
+
+
+def test_checkpoint_refuses_config_mix(spark, corpus, tmp_path_factory):
+    """Round-4 review: stage skip is keyed by name alone, so resuming with a
+    DIFFERENT DedupConfig would silently apply new thresholds to old
+    signatures.  The store's config marker makes that a hard error."""
+    from cloud_dedup_spark.config import DedupConfig
+
+    files, _ = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cfg"))
+    run_pipeline(spark, files, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="different DedupConfig"):
+        run_pipeline(
+            spark, files, cfg=DedupConfig(jaccard_threshold=0.9),
+            checkpoint_dir=ckpt,
+        )
