@@ -106,7 +106,9 @@ def substring_edges(
     cand_anchors: DataFrame | None = None,
     df_index: DataFrame | None = None,
 ) -> DataFrame:
-    """Containment edges (src=needle, dst=haystack, src<dst after normalize).
+    """Containment edges, canonically ordered (src < dst); the ``needle``
+    column carries the contained side's id (src is NOT always the needle
+    after canonicalization) and ``needle_len`` its token length.
 
     ``reps``: identity frame of exact representatives (file_id, content_norm).
     ``sigs``: signature table (file_id, shingles, n_shingles, n_tokens).
@@ -161,11 +163,9 @@ def substring_edges(
             hay_base = base.join(
                 F.broadcast(haystack_ids.select("file_id")), "file_id", "left_semi"
             )
-        inverted = hay_base.select(
-            F.col("file_id").alias("dst"),
-            F.col("n_tokens").alias("hay_tokens"),
-            F.explode("shingles").alias("sh"),
-        )
+        # one owner of the index shape — the persisted incremental table and
+        # this inline batch build must never drift (round-4 review)
+        inverted = shingle_inverted_index(hay_base)
     elif haystack_ids is not None:
         inverted = inverted.join(
             F.broadcast(
@@ -308,9 +308,16 @@ def substring_edges(
         .select("src", "dst", F.col("needle_tokens").alias("needle_len"))
     )
 
+    # canonical (src < dst) ordering for the edge graph; the containment
+    # DIRECTION survives in the explicit `needle` column — after the swap,
+    # src is no longer guaranteed to be the needle, and needle_len without
+    # its owner id was wrong for half of all pairs (round-4 review).  Both
+    # directions can never coexist for one pair (token-strict needle <
+    # haystack inequality), so distinct() keeps one row per pair.
     return verified.select(
         F.least("src", "dst").alias("src"),
         F.greatest("src", "dst").alias("dst"),
+        F.col("src").alias("needle"),
         "needle_len",
     ).distinct()
 

@@ -33,9 +33,13 @@ def build_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → cpu count
+        # local[N] → N; local[*] → cpu count; local[N,R] / local-cluster[...]
+        # carry extra comma fields (task retries, executor specs) — cores are
+        # the first field, and anything non-numeric falls back to cpu count
+        # instead of a ValueError (round-4 review)
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        cores = cpus if n in ("*", "") else int(n)
+        n = n.split(",")[0].strip()
+        cores = int(n) if n.isdigit() else cpus
         shuffle_partitions = max(cores * 2, 8)
 
     builder = (
@@ -95,16 +99,21 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    extra_conf = dict(extra_conf or {})
     if "SPARK_DRIVER_MEMORY" in os.environ:
         # bench sessions: pre-commit the heap (-Xms = -Xmx) so the timed runs
         # don't pay incremental heap growth + the GC churn it drags along
         # (measured on the first 16-core repeat); test sessions keep the lazy
         # default so pytest doesn't reserve tens of GB per session.
+        # MERGED with any caller-supplied extraJavaOptions — same config key,
+        # last write wins, so a caller passing -XX flags silently discarded
+        # the heap pre-commit (round-4 review).
+        caller_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
         builder = builder.config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ['SPARK_DRIVER_MEMORY']}",
+            f"-Xms{os.environ['SPARK_DRIVER_MEMORY']} {caller_opts}".strip(),
         )
-    for k, v in (extra_conf or {}).items():
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

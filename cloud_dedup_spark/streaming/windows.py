@@ -88,13 +88,19 @@ def streaming_sessions(
     frame the same expression computes the identical sessions (pinned
     against ``sessionize`` in tests/test_streaming.py — the window-function
     batch operator and the session-window streaming operator agree on
-    boundaries, counts, and sums).
+    boundaries, counts, and sums) **for non-NULL event times**.  NULL-ts
+    events are dropped EXPLICITLY here (watermark semantics are undefined
+    without an event time; session_window silently discarded them anyway —
+    round-4 review made the drop visible), whereas the batch ``sessionize``
+    gives each NULL-ts event its own session — a consumer reconciling the
+    two must exclude NULL-ts rows on the batch side.
 
     Returns (user_id, session_start, session_end, n_events, sum_value);
     pair with ``outputMode("append")`` for emit-once-per-closed-session.
     """
     return (
-        events.withWatermark(ts_col, watermark_delay)
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(
             F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
         )

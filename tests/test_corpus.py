@@ -69,3 +69,13 @@ def test_bench_corpus_distributed_generation(spark):
     ).first()[0]
     again = bench_corpus_df(spark, 9_500, seed=7, files_per_block=2_000)
     assert agg(df) == agg(again)
+
+
+def test_bench_corpus_exact_rowcount_with_tiny_tail(spark):
+    """Round-4 review: generate_corpus has a ~28-row planted floor, so a
+    1-row tail block overshot the exact row-count contract (8001 → 8027);
+    small tails now fold into the previous block."""
+    from cloud_dedup_spark.corpus import bench_corpus_df
+
+    df = bench_corpus_df(spark, 8_001, seed=7, files_per_block=4_000)
+    assert df.count() == 8_001
