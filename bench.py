@@ -42,7 +42,9 @@ HEADLINE = (
     "substring_doc_pairs",
     "ngram_jaccard_pairs",
     "unique_docs",
+    "dedup_keepers_quality",
     "media_dup_groups",
+    "media_near_pairs",
     "ann_topk",
     "emb_near_pairs",
     "emb_near_pairs_lsh",
@@ -53,6 +55,17 @@ HEADLINE = (
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _all_job_ids(spark) -> set[int]:
+    """Every Spark job id the UI store has seen (fold job-floor evidence)."""
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    store = spark._jsc.sc().statusStore()
+    it = store.jobsList(None).iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next().jobId())
+    return ids
 
 
 def _burn(n: int) -> int:
@@ -232,9 +245,11 @@ def main() -> None:
             "path", _F.concat(_F.lit("boot/"), _F.col("path"))
         )
         incremental_dedup_update(spark, boot, ckpt_base)
+        jobs_before = _all_job_ids(spark)
         t0 = time.time()
         inc = incremental_dedup_update(spark, delta, ckpt_base)
         fold_sec = round(time.time() - t0, 3)
+        fold_jobs = len(_all_job_ids(spark) - jobs_before)
         # n_delta should equal delta_n (unique prefixed keys); a shortfall
         # means key collisions shrank the fold — flag, don't crash the bench
         if inc["n_delta"] != delta_n:
@@ -255,6 +270,10 @@ def main() -> None:
                     "files_per_sec": round(n_files / pipe_sec, 1),
                     "fold_files_per_sec": round(delta_n / fold_sec, 1),
                     "fold_delta_files": delta_n,
+                    # the fold's fixed job floor (round-4 verdict item 3):
+                    # each Spark job costs ~0.5-0.7 s scheduling at this
+                    # delta size, so the count IS the latency story
+                    "fold_jobs": fold_jobs,
                     "bench_files": n_files,
                     "parallelism": cpus,
                     # window self-calibration (pre/post the timed section):

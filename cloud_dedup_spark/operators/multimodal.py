@@ -215,20 +215,31 @@ def extract_features(media: DataFrame, decoder: Decoder) -> DataFrame:
 
     Failures per row are isolated (feature=None), never task-fatal — a single
     corrupt payload must not kill a 100 TB job.
+
+    content_sha256 and n_bytes are computed JVM-side (``F.sha2`` /
+    ``F.length``) and pass through the Arrow batch untouched — Python only
+    pays for the one thing only Python can do here, the decode (round-4
+    verdict nit 3).  A NULL payload (schema contract violated upstream) is a
+    corrupt ROW, not a task failure: it hashes as empty bytes and flows into
+    the same per-row isolation (decode raises → feature=None).
     """
+    pre = media.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.sha2(F.coalesce(F.col("payload"), F.lit(b"")), 256).alias(
+            "content_sha256"
+        ),
+        F.coalesce(F.length("payload"), F.lit(0))
+        .cast("int")
+        .alias("n_bytes"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats: list[list[float] | None] = []
-            shas: list[str] = []
-            sizes: list[int] = []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                # a NULL payload (schema contract violated upstream) is a
-                # corrupt ROW, not a task failure: empty bytes flow into the
-                # same per-row isolation below (decode raises → feature=None)
                 data = b"" if payload is None else bytes(payload)
-                shas.append(hashlib.sha256(data).hexdigest())
-                sizes.append(len(data))
                 try:
                     feats.append(decoder.decode(kind, data).tolist())
                 except NotImplementedError:
@@ -239,13 +250,13 @@ def extract_features(media: DataFrame, decoder: Decoder) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "content_sha256": shas,
-                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "content_sha256": pdf["content_sha256"],
+                    "n_bytes": pdf["n_bytes"],
                     "feature": feats,
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return pre.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def exact_media_duplicates(features: DataFrame) -> DataFrame:

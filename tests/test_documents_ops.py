@@ -92,6 +92,39 @@ def test_select_keepers_policy_and_singletons(spark):
     assert (out[20]["n_docs"], out[20]["n_dropped"]) == (1, 0)
 
 
+def test_select_keepers_quality_prefers_quality_over_length(spark):
+    """Round-4 verdict item 5: the quality-aware policy must DIVERGE from the
+    longest-text rule — within a prefix block the highest-quality member
+    wins even when another member is (much) longer."""
+    from cloud_dedup_spark.operators.documents import select_keepers_quality
+
+    prefix = "the quick brown fox and the lazy dog ran to"
+    # doc 1: clean English continuation — ≥50 tokens, stopwords in band,
+    # near-zero punctuation → quality ≈ 0.97
+    good = prefix + " " + " ".join(
+        ["the town and it was a fine day to run in the sun with a friend"] * 4
+    )
+    # doc 2: LONGER, but the tail is punctuation soup → punct_ratio ≈ 1 on
+    # the tail floor drags quality to ≈ 0.55
+    bad = prefix + " " + " ".join(["!!!! ???? %%%% ####"] * 40)
+    assert len(bad) > len(good)
+    rows = [
+        _doc(1, good, "a"),
+        _doc(2, bad, "b"),
+        # singleton block keeps itself
+        _doc(20, "completely unrelated words describing another topic here",
+             "a"),
+        # NULL text: its own singleton group, never welded or dropped
+        (30, None, "en", "c", 0),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    out = {r["keeper_doc_id"]: r for r in select_keepers_quality(docs).collect()}
+    assert set(out) == {1, 20, 30}
+    assert (out[1]["n_docs"], out[1]["n_dropped"]) == (2, 1)
+    assert out[1]["quality"] > 0.8
+    assert (out[30]["n_docs"], out[30]["n_dropped"]) == (1, 0)
+
+
 def test_null_text_semantics_across_document_operators(spark):
     """Round-4 review: NULL-text docs must never weld into one phantom
     'duplicate' group (PARTITION/GROUP BY treats NULLs as equal), must not

@@ -271,6 +271,58 @@ def test_fold_shuffle_stays_flat_as_corpus_grows(spark, tmp_path):
     assert big < max(small, 1) * 1.5 + 65536, (small, big)
 
 
+def test_fold_lsh_hot_bucket_is_capped(spark, tmp_path):
+    """Round-4 verdict item 1: a delta member of an over-cap band bucket
+    (a near-identical — NOT byte-identical, so exact pre-collapse can't
+    remove it — boilerplate family) pairs only with its ~cap-sized salt
+    group per band.  The fold's LSH verify input must be O(bands × cap),
+    never O(bucket), and the delta member must still join the family's
+    cluster (connectivity through its salt group + exact verification)."""
+    from cloud_dedup_spark.config import DedupConfig
+
+    # few bands + small cap so the O(bands × cap) bound sits far below the
+    # bucket size; the family members differ only in a comment line, which
+    # normalization strips — identical shingle sets (bucket size == family)
+    # but distinct raw bytes (no exact-channel collapse)
+    cfg = DedupConfig(
+        num_hashes=16, num_bands=4, rows_per_band=4, band_bucket_cap=16
+    )
+    fam = 400
+    body = "\n".join(
+        f"def hotfam_{i}(a, b):\n    return a * {i} + b" for i in range(40)
+    )
+    base_rows = [
+        ("repo_a", f"fam/m{j}.py", "c", "py", f"{body}\n# member {j}\n")
+        for j in range(fam)
+    ]
+    base = spark.createDataFrame(base_rows, SCHEMA)
+    ckpt = str(tmp_path / "hot_ckpt")
+    run_pipeline(spark, base, cfg=cfg, checkpoint_dir=ckpt)
+
+    delta = spark.createDataFrame(
+        [("repo_z", "fam/delta.py", "d", "py", f"{body}\n# member delta\n")],
+        SCHEMA,
+    )
+    inc = incremental_dedup_update(spark, delta, ckpt, cfg=cfg)
+    assert inc["n_delta"] == 1
+
+    # O(cap) bound: ≤ bands × ~2·cap distinct partners (salt-group sizes vary
+    # around cap), with slack — and strictly below the bucket size, which is
+    # what the uncapped join emitted (≥ fam distinct pairs)
+    assert inc["n_lsh_pairs"] <= cfg.num_bands * 3 * cfg.band_bucket_cap, (
+        inc["n_lsh_pairs"]
+    )
+    assert inc["n_lsh_pairs"] < fam
+
+    # connectivity survives the cap: the delta file landed in the family's
+    # cluster (its salt-group edges verify at jaccard 1.0)
+    labels = spark.read.parquet(f"{ckpt}/cluster_labels")
+    by_file = {(r["repo"], r["path"]): r["cluster_id"] for r in labels.collect()}
+    delta_label = by_file[("repo_z", "fam/delta.py")]
+    fam_labels = {by_file[("repo_a", f"fam/m{j}.py")] for j in range(0, fam, 37)}
+    assert fam_labels == {delta_label}
+
+
 def test_incremental_cc_runs_on_touched_components_only(spark, tmp_path):
     """Incremental connected components (round-3 verdict item 2): a fold's CC
     pass runs over the touched components' members + the delta only, not the

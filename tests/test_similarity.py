@@ -249,6 +249,32 @@ def test_ivf_near_pairs_blocked_subset_no_cartesian(spark, emb_real):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def test_ivf_near_pairs_multiprobe(spark, emb_real):
+    """Round-4 verdict item 6: multi-probe pair mining — corpus indexed at
+    ONE row per vector, recall recovered by probing each cell's nprobe
+    nearest cells.  nprobe == n_cells degenerates to the exact all-pairs
+    twin (scores included); a pruned nprobe stays a precision-1.0 subset
+    with useful recall and no cartesian in the plan."""
+    from cloud_dedup_spark.operators.ivf import ivf_near_pairs
+
+    exact = {(r["id_a"], r["id_b"], r["score"])
+             for r in cosine_near_pairs(emb_real, 0.4).collect()}
+    full = {(r["id_a"], r["id_b"], r["score"])
+            for r in ivf_near_pairs(
+                emb_real, 0.4, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+
+    df = ivf_near_pairs(emb_real, 0.4, n_cells=8, nprobe=4)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in df.collect()}
+    exact_pairs = {(a, b) for a, b, _ in exact}
+    assert got <= exact_pairs  # exact re-score ⇒ no false positives
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
 def test_zero_norm_vectors_never_outrank_or_match(spark):
     """Round-4 review: 0/0 cosine was NaN in the UDF path (NaN > everything
     in Spark's total ordering → rank-1 false neighbour, passes every
