@@ -364,6 +364,52 @@ def q_event_prop_buckets(spark, sf_dir):
     return json_prop_buckets(_t(spark, sf_dir, "events"))
 
 
+def q_contaminated_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py): which corpus
+    documents verbatim-contain an eval snippet?  The probe set is a
+    deterministic pure-Column token slice of every 29th doc, built with the
+    IDENTICAL expression on both engines, so the hash checks the full
+    detection channel (signature build → rarest-anchor candidates → subset
+    prefilter → exact contains), not the fixture.  The DuckDB twin is the
+    naive snippets × docs contains() under the operator's exact gates —
+    equality holds because every snippet is distinctive at this sf (rarest
+    anchor df ≪ cap); the capped/dropped-needle semantics are pinned in
+    tests/test_contamination.py where SQL cannot express them."""
+    from cloud_dedup_spark.operators.contamination import (
+        benchmark_snippets,
+        contaminated_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return contaminated_docs(docs, benchmark_snippets(docs))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary profile: top-100 tokens by document frequency
+    (local array_distinct → one map-side-combined groupBy →
+    TakeOrderedAndProject; deterministic tie-break on token)."""
+    from cloud_dedup_spark.operators.documents import token_df_topk
+
+    return token_df_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_lang_quality_rollup(spark, sf_dir):
+    """Per-language corpus curation report over the text_profile columns:
+    doc count, exact decimal quality mass, token mass, low-quality count —
+    the summary a data-curation pass reads before choosing filter
+    thresholds.  Sums are decimal/bigint so partial-aggregation order can
+    never move a cent (the supplier_part_span discipline)."""
+    prof = text_profile(_t(spark, sf_dir, "documents"))
+    return prof.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("quality").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_quality"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("sum_tokens"),
+        F.count(F.when(F.col("quality") < 0.5, F.lit(1))).alias("n_low_quality"),
+    )
+
+
 def q_minhash_doc_clusters(spark, sf_dir):
     """Full MinHash/LSH/substring/CC pipeline on documents (non-SQL: rows-only
     driver check).  Deterministic: seeded hashes, min-id cluster labels."""
@@ -526,6 +572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers_quality": q_dedup_keepers_quality,
         "user_sessions": q_user_sessions,
         "event_prop_buckets": q_event_prop_buckets,
+        "contaminated_docs": q_contaminated_docs,
+        "vocab_topk": q_vocab_topk,
+        "lang_quality_rollup": q_lang_quality_rollup,
         "media_dup_groups": q_media_dup_groups,
         "media_near_pairs": q_media_near_pairs,
         "minhash_doc_clusters": q_minhash_doc_clusters,
@@ -540,6 +589,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 _STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# the operator's normalization chain (functions/normalize.py) in DuckDB
+# regex dialect: lower → strip block+line comments → collapse ws → trim;
+# RE2 inline flags mirror the Java (?s)/(?m) semantics.  Shared by the
+# substring and contamination twins.
+_NORM = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace(lower({col}),"
+    r" '(?s)/\*.*?\*/', ' ', 'g'),"
+    r" '(?m)(#|//).*$', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+# signature-stage tokenizer (token-strict gates count with this regex)
+_SIG_TOK = r"[a-z_][a-z0-9_]*|[0-9]+|[^\sa-z0-9_]"
 
 _ORACLES: dict[str, str] = {
     "exact_text_dupes": f"""
@@ -618,6 +680,57 @@ _ORACLES: dict[str, str] = {
          AND n.n_tok < h.n_tok
          AND position(n.t IN h.t) > 0
         GROUP BY 1, 2
+    """,
+    # naive snippets × docs containment twin of the anchor-indexed
+    # decontamination channel: the probe set is the IDENTICAL pure-Column
+    # slice expression (every 29th doc, whitespace tokens 5..28 of the
+    # lowercased text, ≥33-token docs only — DuckDB list slices are
+    # 1-based inclusive, so [5:28] = Spark slice(toks, 5, 24)), and the
+    # containment predicate mirrors the operator's gates exactly
+    # (normalized text, needle ≥64 chars, ≥12 sig tokens, token-strict
+    # needle < haystack)
+    "contaminated_docs": f"""
+        WITH snips AS (
+          SELECT doc_id AS bench_id,
+                 array_to_string(
+                   regexp_split_to_array(lower(trim(text)), '\\s+')[5:28],
+                   ' ') AS snippet
+          FROM documents
+          WHERE text IS NOT NULL AND doc_id % 29 = 0
+            AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 33
+        ), ntok AS (
+          SELECT bench_id, t,
+                 len(regexp_extract_all(t, '{_SIG_TOK}')) AS n_tok
+          FROM (SELECT bench_id, {_NORM.format(col="snippet")} AS t FROM snips)
+        ), htok AS (
+          SELECT doc_id, t,
+                 len(regexp_extract_all(t, '{_SIG_TOK}')) AS n_tok
+          FROM (SELECT doc_id, {_NORM.format(col="text")} AS t
+                FROM documents WHERE text IS NOT NULL)
+        )
+        SELECT n.bench_id, h.doc_id
+        FROM ntok n JOIN htok h
+          ON length(n.t) >= 64
+         AND n.n_tok >= 12
+         AND n.n_tok < h.n_tok
+         AND position(n.t IN h.t) > 0
+        GROUP BY 1, 2
+    """,
+    "vocab_topk": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS token
+            FROM documents WHERE text IS NOT NULL
+          )
+        )
+        SELECT token, count(*) AS df
+        FROM toks
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY df DESC, token ASC
+        LIMIT 100
     """,
     "ngram_jaccard_pairs": """
         WITH toks AS (
@@ -943,6 +1056,19 @@ _ORACLES: dict[str, str] = {
     # permutations / hyperplane projections / iterative k-means + CC) →
     # rows-only check; each is recall/equality-pinned in pytest.
 }
+
+# per-language rollup over the (hash-green) text_profile twin: exact decimal
+# quality mass + bigint token mass so neither engine's aggregation order can
+# move a cent; DuckDB sum(INTEGER) is HUGEINT, so the cast pins the schema
+_ORACLES["lang_quality_rollup"] = f"""
+    SELECT lang_guess,
+           count(*) AS n_docs,
+           round(sum(CAST(quality AS DECIMAL(18,4))), 2)::DOUBLE AS sum_quality,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           count(*) FILTER (WHERE quality < 0.5) AS n_low_quality
+    FROM ({_ORACLES["text_profile"]}) p
+    GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:

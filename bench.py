@@ -41,6 +41,9 @@ HEADLINE = (
     "prefix_fp_groups",
     "substring_doc_pairs",
     "ngram_jaccard_pairs",
+    "contaminated_docs",
+    "vocab_topk",
+    "lang_quality_rollup",
     "unique_docs",
     "dedup_keepers_quality",
     "media_dup_groups",

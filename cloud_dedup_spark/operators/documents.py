@@ -237,6 +237,34 @@ def unique_docs_per_source(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_df_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Top-``k`` vocabulary tokens by document frequency — the corpus
+    vocabulary profile (what the df caps in ``ngram_jaccard_pairs`` and the
+    substring anchor index are sized against, surfaced as a first-class
+    query).  Output: token, df; ties broken by token ascending so the cut is
+    deterministic on any engine.
+
+    Scale shape: per-doc token dedup is LOCAL (``array_distinct`` inside the
+    row, no shuffle), the document-frequency count is one map-side-combinable
+    groupBy, and the global top-k is orderBy+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge), never
+    a full sort shuffle.  Empty tokens (split artifacts of blank text) are
+    dropped; NULL-text docs contribute nothing.
+    """
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("token")
+    )
+    return (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def documents_as_files(docs: DataFrame) -> DataFrame:
     """Adapt the documents table to the pipeline's files(repo,path,...) shape
     so the full MinHash/LSH/cluster engine runs on it unchanged.  NULL-text

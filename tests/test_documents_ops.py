@@ -168,3 +168,24 @@ def test_null_text_semantics_across_document_operators(spark):
     # adapter: NULL text never reaches the pipeline's identity columns
     assert documents_as_files(docs).filter("content IS NULL").count() == 0
     assert documents_as_files(docs).count() == 3
+
+
+def test_token_df_topk_dedup_ties_and_limit(spark):
+    """Per-doc dedup is local (a token repeated inside one doc counts once),
+    empty/NULL texts contribute nothing, and the top-k cut is deterministic
+    (df desc, token asc) so ties at the boundary pick the same rows on any
+    engine."""
+    from cloud_dedup_spark.operators.documents import token_df_topk
+
+    rows = [
+        _doc(1, "apple apple banana", "s1"),
+        _doc(2, "banana cherry", "s1"),
+        _doc(3, "", "s1"),
+        (4, None, "en", "s1", 0),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    full = [(r["token"], r["df"]) for r in token_df_topk(docs, k=10).collect()]
+    assert full == [("banana", 2), ("apple", 1), ("cherry", 1)]
+    # tie at the k boundary: apple < cherry lexically wins the last slot
+    top2 = [(r["token"], r["df"]) for r in token_df_topk(docs, k=2).collect()]
+    assert top2 == [("banana", 2), ("apple", 1)]
