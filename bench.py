@@ -228,36 +228,56 @@ def main() -> None:
         # are prefixed so natural keys never collide with the base corpus
         # (a colliding key would be dropped by the fold's idempotency guard
         # and the measurement would silently shrink).
+        # BENCH_SKIP_FOLD=1 omits this section (and its JSON keys): the
+        # scaling protocol's fold numbers are non-gating context, and on a
+        # host whose measurement windows flip every ~15-30 min the ~6-8 min
+        # of fold exposure per two-leg run is the difference between
+        # fitting a quiet window and being rejected by it.
+        skip_fold = os.environ.get("BENCH_SKIP_FOLD") == "1"
         from pyspark.sql import functions as _F
 
         from cloud_dedup_spark.streaming.incremental import (
             incremental_dedup_update,
         )
 
+        fold_metrics: dict = {}
         delta_n = max(1_000, bench_files // 100)
-        delta = bench_corpus_df(spark, delta_n, seed=4242).withColumn(
-            "path", _F.concat(_F.lit("inc/"), _F.col("path"))
-        ).localCheckpoint()  # materialize: generation is not the fold
+        if skip_fold:
+            delta = None
+        else:
+            delta = bench_corpus_df(spark, delta_n, seed=4242).withColumn(
+                "path", _F.concat(_F.lit("inc/"), _F.col("path"))
+            ).localCheckpoint()  # materialize: generation is not the fold
         # untimed bootstrap fold: the FIRST fold on a batch-pipeline
         # checkpoint pays the one-time O(corpus) shingle_index build (the
         # batch pipeline keeps no inverted index); timing that would report
         # corpus index construction as "fold throughput".  A 1-file fold
         # triggers the bootstrap so the timed fold below is the steady-state
         # O(delta) path.
-        boot = bench_corpus_df(spark, 1, seed=555).withColumn(
-            "path", _F.concat(_F.lit("boot/"), _F.col("path"))
-        )
-        incremental_dedup_update(spark, boot, ckpt_base)
-        jobs_before = _all_job_ids(spark)
-        t0 = time.time()
-        inc = incremental_dedup_update(spark, delta, ckpt_base)
-        fold_sec = round(time.time() - t0, 3)
-        fold_jobs = len(_all_job_ids(spark) - jobs_before)
-        # n_delta should equal delta_n (unique prefixed keys); a shortfall
-        # means key collisions shrank the fold — flag, don't crash the bench
-        if inc["n_delta"] != delta_n:
-            print(f"WARNING: fold ingested {inc['n_delta']}/{delta_n} rows")
-        timings["incremental_fold"] = fold_sec
+        if not skip_fold:
+            boot = bench_corpus_df(spark, 1, seed=555).withColumn(
+                "path", _F.concat(_F.lit("boot/"), _F.col("path"))
+            )
+            incremental_dedup_update(spark, boot, ckpt_base)
+            jobs_before = _all_job_ids(spark)
+            t0 = time.time()
+            inc = incremental_dedup_update(spark, delta, ckpt_base)
+            fold_sec = round(time.time() - t0, 3)
+            # n_delta should equal delta_n (unique prefixed keys); a
+            # shortfall means key collisions shrank the fold — flag, don't
+            # crash the bench
+            if inc["n_delta"] != delta_n:
+                print(f"WARNING: fold ingested {inc['n_delta']}/{delta_n} rows")
+            timings["incremental_fold"] = fold_sec
+            fold_metrics = {
+                "fold_files_per_sec": round(delta_n / fold_sec, 1),
+                "fold_delta_files": delta_n,
+                # every DAG job the fold schedules, including AQE-stage and
+                # broadcast-build materializations (~30 of these are driver
+                # actions; see BENCH/ANALYSIS.md round-5 decomposition —
+                # per-job scheduling is milliseconds, not the latency story)
+                "fold_jobs": len(_all_job_ids(spark) - jobs_before),
+            }
         shutil.rmtree(ckpt_base, ignore_errors=True)
 
         calib_post = _calibrate(spark, cpus)
@@ -271,12 +291,7 @@ def main() -> None:
                     "queries": timings,
                     "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                     "files_per_sec": round(n_files / pipe_sec, 1),
-                    "fold_files_per_sec": round(delta_n / fold_sec, 1),
-                    "fold_delta_files": delta_n,
-                    # the fold's fixed job floor (round-4 verdict item 3):
-                    # each Spark job costs ~0.5-0.7 s scheduling at this
-                    # delta size, so the count IS the latency story
-                    "fold_jobs": fold_jobs,
+                    **fold_metrics,
                     "bench_files": n_files,
                     "parallelism": cpus,
                     # window self-calibration (pre/post the timed section):
