@@ -299,6 +299,64 @@ def make_signature_udf(cfg: DedupConfig):
     return signature_udf
 
 
+_SHINGLE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_shingles", T.IntegerType()),
+        T.StructField("shingles", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def make_shingle_udf(cfg: DedupConfig):
+    """Scalar-iterator pandas UDF: content_norm → shingle-only struct.
+
+    The EXACT token/shingle arithmetic of ``make_signature_udf`` (same
+    ``_TOKEN_RE`` → ``_token_hash_array`` → ``_shingle_hashes_from`` chain,
+    so every emitted value is bit-identical to the full UDF's), minus the
+    MinHash/band/SimHash work.  Exists because an opaque UDF defeats column
+    pruning (guide §4): a caller that only reads shingles — the substring
+    containment channel — still paid the OPH sort + band hash + SimHash per
+    document through the full UDF (round-6 measurement: the per-invocation
+    signature build dominated contaminated_docs/substring_doc_pairs)."""
+    k = cfg.shingle_size
+
+    @F.pandas_udf(_SHINGLE_SCHEMA)
+    def shingle_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        token_cache: dict[str, int] = {}
+        for series in batches:
+            out = {"n_tokens": [], "n_shingles": [], "shingles": []}
+            for text in series:
+                tokens = _TOKEN_RE.findall(text) if text else []
+                th = _token_hash_array(tokens, token_cache)
+                sh = _shingle_hashes_from(th, k)
+                out["n_tokens"].append(len(th))
+                out["n_shingles"].append(len(sh))
+                out["shingles"].append(sh.astype(np.uint32).astype(np.int32))
+            if len(token_cache) > 1_000_000:  # bound executor-side cache
+                token_cache.clear()
+            yield pd.DataFrame(out)
+
+    return shingle_udf
+
+
+def compute_shingle_signatures(files: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Shingle-only signature frame — the subset the substring channel reads.
+
+    Same passthrough contract as :func:`compute_signatures`; output columns
+    are passthrough + n_tokens, n_shingles, shingles, with values identical
+    to the full builder (pinned in tests/test_signatures.py)."""
+    udf = make_shingle_udf(cfg)
+    sig = files.withColumn("sig", udf(F.col("content_norm")))
+    passthrough = [c for c in files.columns if c not in ("content", "content_norm")]
+    return sig.select(
+        *passthrough,
+        F.col("sig.n_tokens").alias("n_tokens"),
+        F.col("sig.n_shingles").alias("n_shingles"),
+        F.col("sig.shingles").alias("shingles"),
+    )
+
+
 # Checkpoint schema of the pipeline's signatures stage table (pipeline.py and
 # streaming/incremental.py must agree — incremental appends delta rows to the
 # batch table).  minhash is deliberately NOT persisted: band_hashes are

@@ -86,6 +86,12 @@ def brute_force_topk(
     ``queries`` is expected to be small → broadcast; the corpus side streams.
     Ties broken by neighbour id for determinism (reference X9: deterministic
     ordering before any output).  Output: query_id, neighbor_id, rank, score.
+
+    Scoring goes through ``cosine_udf`` (Arrow-vectorized): the expression
+    form re-evaluated three interpreted aggregate lambdas per pair — on the
+    Q×N crossJoin that was the whole stage cost (round-6 measurement:
+    ann_topk 3.2 s → sub-second with identical 4dp scores; rounding stays
+    JVM-side either way).
     """
     q = F.broadcast(
         queries.select(
@@ -96,7 +102,7 @@ def brute_force_topk(
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("score", F.round(cosine_udf(F.col("q_vec"), F.col("c_vec")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -113,16 +119,98 @@ def cosine_near_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 256,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup channel."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup channel.
+
+    Blocked execution (round-6; guide §4 "shuffle keys and metadata, not
+    payloads" applied to the Arrow boundary): the old crossJoin shipped BOTH
+    full vectors of every one of the N²/2 pairs through Arrow — ~100× the
+    corpus bytes.  Here vectors are packed into ~``block_size``-row hash
+    blocks; the G(G+1)/2 block pairs join (G ≈ N/block_size rows — a trivial
+    nested-loop join of packed rows), and ONE Arrow batch per block pair
+    scores every cross pair with the IDENTICAL per-pair arithmetic as
+    ``cosine_udf`` (same float64 einsum row-dot, same norm product, same
+    zero-norm → -1.0 guard), so each vector crosses the boundary G times
+    instead of N times.  Only pairs within one conservative rounding step of
+    the threshold leave Python; the AUTHORITATIVE round(4dp)-then-filter
+    stays JVM-side exactly as before, so results are identical to the
+    crossJoin form (equality pinned in tests/test_similarity.py).
+    """
+    import math
+
+    n = emb.select(id_col).count()
+    n_blocks = max(1, math.ceil(n / block_size))
+    packed = (
+        emb.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("gid"),
+            F.struct(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ).alias("item"),
+        )
+        .groupBy("gid")
+        .agg(F.collect_list("item").alias("items"))
+    )
+    # conservative Python-side prefilter: round-half-up at 4dp keeps a pair
+    # iff raw >= threshold - 5e-5 (threshold is a 4dp value); the extra 1e-9
+    # covers double representation of the boundary.  No pair the JVM filter
+    # would keep can be dropped here.
+    margin = threshold - 5e-5 - 1e-9
+
+    @F.pandas_udf("array<struct<id_a:long,id_b:long,score:double>>")
+    def _block_scores(
+        items_a: pd.Series, items_b: pd.Series, same: pd.Series
+    ) -> pd.Series:
+        out = []
+        for ia, ib, s in zip(items_a, items_b, same):
+            ids_a = np.array([r["id"] for r in ia], dtype=np.int64)
+            ma = np.vstack([r["vec"] for r in ia]).astype(np.float64)
+            if s:
+                ids_b, mb = ids_a, ma
+                iu, ju = np.triu_indices(len(ids_a), k=1)
+            else:
+                ids_b = np.array([r["id"] for r in ib], dtype=np.int64)
+                mb = np.vstack([r["vec"] for r in ib]).astype(np.float64)
+                iu = np.repeat(np.arange(len(ids_a)), len(ids_b))
+                ju = np.tile(np.arange(len(ids_b)), len(ids_a))
+            if len(iu) == 0:
+                out.append([])
+                continue
+            pa, pb = ma[iu], mb[ju]
+            dots = np.einsum("ij,ij->i", pa, pb)
+            norms = np.linalg.norm(pa, axis=1) * np.linalg.norm(pb, axis=1)
+            zero = norms == 0.0
+            score = np.where(zero, -1.0, dots / np.where(zero, 1.0, norms))
+            keep = score >= margin
+            id_lo = np.minimum(ids_a[iu], ids_b[ju])[keep]
+            id_hi = np.maximum(ids_a[iu], ids_b[ju])[keep]
+            sc = score[keep]
+            out.append(
+                [
+                    {"id_a": int(x), "id_b": int(y), "score": float(v)}
+                    for x, y, v in zip(id_lo, id_hi, sc)
+                ]
+            )
+        return pd.Series(out)
+
+    x, y = packed.alias("x"), packed.alias("y")
+    joined = x.join(y, F.col("x.gid") <= F.col("y.gid"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine_udf(F.col("vec_a"), F.col("vec_b")), 4))
+        joined.select(
+            F.explode(
+                _block_scores(
+                    F.col("x.items"),
+                    F.col("y.items"),
+                    F.col("x.gid") == F.col("y.gid"),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.round(F.col("p.score"), 4).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
     )
 
 

@@ -144,6 +144,29 @@ def test_exact_dup_files_get_identical_signatures(sigs, corpus):
     assert a["band_hashes"] == b["band_hashes"]
 
 
+def test_shingle_only_signatures_match_full(spark, sigs, corpus):
+    """The shingle-only UDF (round-6: the substring channel's lean input —
+    skips MinHash/band/SimHash work an opaque UDF would otherwise always
+    pay) must emit exactly the full builder's n_tokens/n_shingles/shingles
+    for every file."""
+    from cloud_dedup_spark.operators.signatures import (
+        compute_shingle_signatures,
+    )
+
+    files, _ = corpus
+    lean = compute_shingle_signatures(with_identity(files), CFG)
+    cols = ["repo", "path", "n_tokens", "n_shingles", "shingles"]
+    full_rows = {
+        (r["repo"], r["path"]): (r["n_tokens"], r["n_shingles"], r["shingles"])
+        for r in sigs.select(*cols).collect()
+    }
+    lean_rows = {
+        (r["repo"], r["path"]): (r["n_tokens"], r["n_shingles"], r["shingles"])
+        for r in lean.select(*cols).collect()
+    }
+    assert lean_rows == full_rows
+
+
 def test_minhash_chunking_is_bit_identical():
     """The chunked universal-minhash path (shingle-axis chunks, round-4
     review: the one-shot matrix was ~1KB/shingle) must equal the direct

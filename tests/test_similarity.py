@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F2
 
 from cloud_dedup_spark.operators.ivf import ivf_topk
 from cloud_dedup_spark.operators.similarity import (
@@ -88,6 +89,43 @@ def test_band_params_solver():
 @pytest.fixture(scope="module")
 def emb_real(spark):
     return spark.read.parquet(SF_EMB).cache()
+
+
+def test_blocked_near_pairs_match_crossjoin(spark, emb_real):
+    """round-6: cosine_near_pairs moved from a pair-row crossJoin to blocked
+    Arrow scoring (each vector crosses the Python boundary ~G times instead
+    of N times).  The blocked form must equal the old crossJoin+cosine_udf
+    formulation EXACTLY — same pairs, same 4dp scores — for both the
+    multi-block and the single-block (everything in one bucket) shapes."""
+    from cloud_dedup_spark.operators.similarity import cosine_udf
+
+    a = emb_real.select(
+        F2.col("vec_id").alias("id_a"), F2.col("embedding").alias("vec_a")
+    )
+    b = emb_real.select(
+        F2.col("vec_id").alias("id_b"), F2.col("embedding").alias("vec_b")
+    )
+    reference = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in (
+            a.crossJoin(b)
+            .filter(F2.col("id_a") < F2.col("id_b"))
+            .withColumn(
+                "score",
+                F2.round(cosine_udf(F2.col("vec_a"), F2.col("vec_b")), 4),
+            )
+            .filter(F2.col("score") >= 0.4)
+            .select("id_a", "id_b", "score")
+        ).collect()
+    }
+    for block_size in (7, 10_000):
+        got = {
+            (r["id_a"], r["id_b"]): r["score"]
+            for r in cosine_near_pairs(
+                emb_real, 0.4, block_size=block_size
+            ).collect()
+        }
+        assert got == reference, f"block_size={block_size}"
 
 
 def test_lsh_near_pairs_recall_vs_exact(spark, emb_real):
