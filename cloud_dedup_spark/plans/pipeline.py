@@ -253,21 +253,43 @@ def run_pipeline(
     # re-exploding the shingle-bearing signature rows on each pass.
     bands = stage("bands", lambda: explode_bands(sigs))
 
+    # anchors / candidate_edges / substring_edges are mutually independent —
+    # each reads only the MATERIALIZED sigs/bands/norm stage tables — so
+    # they run as three concurrent driver threads (guide §2.6: Spark's
+    # scheduler happily interleaves jobs; the next stage's tasks back-fill
+    # executors freed by the current stage's straggler tail).  Round-6
+    # measurement: the two heavy stages were ~20 s + ~17 s sequential at
+    # 240k files with neither keeping all 32 cores busy through its tail;
+    # overlapped, the pipeline pays ~max of the three, not the sum.  Stage
+    # names stay distinct so CheckpointStore paths never collide; metrics
+    # appends are GIL-atomic; each stage's recorded seconds now measure its
+    # own wall INCLUDING contention (noted in OPTIMIZATION_r06.md).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cloud_dedup_spark.operators.substring import candidate_anchors
+
     # anchors: each needle's K candidate substring anchors, persisted so the
     # incremental fold's reverse channel (old needle in NEW haystack) scans
     # this narrow table instead of re-exploding the union's signature rows
     # per delta (round-4; operators/substring.candidate_anchors).  Written
     # unfiltered — the cfg-dependent cuts apply at read time.
-    from cloud_dedup_spark.operators.substring import candidate_anchors
-
-    anchors = stage("anchors", lambda: candidate_anchors(sigs))
-
-    verified = stage(
-        "candidate_edges",
-        lambda: verify_pairs(lsh_candidate_pairs(sigs, cfg, bands=bands), sigs, cfg),
-    )
-
-    sub_edges = stage("substring_edges", lambda: substring_edges(norm, sigs, cfg))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_anchors = pool.submit(
+            stage, "anchors", lambda: candidate_anchors(sigs)
+        )
+        f_verified = pool.submit(
+            stage,
+            "candidate_edges",
+            lambda: verify_pairs(
+                lsh_candidate_pairs(sigs, cfg, bands=bands), sigs, cfg
+            ),
+        )
+        f_sub = pool.submit(
+            stage, "substring_edges", lambda: substring_edges(norm, sigs, cfg)
+        )
+        anchors = f_anchors.result()
+        verified = f_verified.result()
+        sub_edges = f_sub.result()
 
     edges = stage(
         "edges",

@@ -486,91 +486,105 @@ def _incremental_dedup_update(
     # delta's key set (delta-bounded) — joining delta against the raw union
     # would shuffle the corpus-sized bands table every fold.
     delta_bands = explode_bands(delta_sigs).localCheckpoint(eager=False)
-    delta_band_keys = delta_bands.select("band_key").distinct()
-    prior_band_hits = prior_bands.join(
-        F.broadcast(delta_band_keys), "band_key", "left_semi"
-    )
-    cand_bands = prior_band_hits.unionByName(delta_bands)
-    # --- hot-bucket cap (round-4 verdict item 1): the raw band_key equi-join
-    # emits bucket-size pairs per (delta member, band) — O(delta × bucket)
-    # verify work when a delta file carries a boilerplate band key whose
-    # bucket holds 10^4-10^6 near-identical (NOT byte-identical, so exact
-    # pre-collapse can't remove them) members.  Reuse the batch path's
-    # discipline (operators/candidates.py): bucket sizes per touched key
-    # (map-side combined — the shuffle output is one row per touched key,
-    # delta-bounded), keys ≤ cap keep the raw join, keys > cap route the
-    # delta member into its deterministic salt group only (the batch path's
-    # own salt assignment: pmod(xxhash64(band_key, file_id), ceil(n/cap))),
-    # giving O(delta × cap) pairs per band regardless of bucket size.
-    # Label equality with a full recompute is preserved: the batch path caps
-    # the same buckets, the prior bucket members' connectivity is already in
-    # prior_edges (written by whichever batch run / fold ingested them), and
-    # the delta member only ever needed SOME verified edge into the bucket's
-    # true family — its ~cap-sized salt group gives it cap chances per band
-    # (more than batch's star+chain gives its own members).  Pinned by
-    # tests/test_incremental.py::test_fold_lsh_hot_bucket_is_capped.
-    cap = cfg.band_bucket_cap
-    hot_sizes = (
-        cand_bands.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > cap)
-        .localCheckpoint()  # eager: tiny (heavy-hitter keys), consumed 3×
-    )
-    cool_pairs = (
-        # anti-joining only the DELTA side suffices: the equi-join can then
-        # never match a hot key on the cand side
-        delta_bands.join(
-            F.broadcast(hot_sizes.select("band_key")), "band_key", "left_anti"
+
+    # Round-6: the LSH channel and the two substring directions are
+    # mutually independent until their edges union — but each one issues
+    # its own sequence of blocking driver actions (eager checkpoints,
+    # counts, the verify weight probe), and at a 1% delta the fold wall is
+    # ~all this serial action latency, not compute (BENCH/ANALYSIS.md
+    # round-5 decomposition).  The three channels therefore run as
+    # concurrent driver threads (guide §2.6); each thread's jobs back-fill
+    # executors the others leave idle.  All shared inputs (delta_sigs,
+    # delta_bands, union frames, the persisted index) are created before
+    # the threads start; delta_index is EAGER so the two substring threads
+    # never race to materialize the same lazy checkpoint.
+    def _lsh_channel():
+        delta_band_keys = delta_bands.select("band_key").distinct()
+        prior_band_hits = prior_bands.join(
+            F.broadcast(delta_band_keys), "band_key", "left_semi"
         )
-        .join(cand_bands.withColumnRenamed("file_id", "other_id"), "band_key")
-        .filter(F.col("file_id") != F.col("other_id"))
-        .select(
-            F.least("file_id", "other_id").alias("src"),
-            F.greatest("file_id", "other_id").alias("dst"),
+        cand_bands = prior_band_hits.unionByName(delta_bands)
+        # --- hot-bucket cap (round-4 verdict item 1): the raw band_key equi-join
+        # emits bucket-size pairs per (delta member, band) — O(delta × bucket)
+        # verify work when a delta file carries a boilerplate band key whose
+        # bucket holds 10^4-10^6 near-identical (NOT byte-identical, so exact
+        # pre-collapse can't remove them) members.  Reuse the batch path's
+        # discipline (operators/candidates.py): bucket sizes per touched key
+        # (map-side combined — the shuffle output is one row per touched key,
+        # delta-bounded), keys ≤ cap keep the raw join, keys > cap route the
+        # delta member into its deterministic salt group only (the batch path's
+        # own salt assignment: pmod(xxhash64(band_key, file_id), ceil(n/cap))),
+        # giving O(delta × cap) pairs per band regardless of bucket size.
+        # Label equality with a full recompute is preserved: the batch path caps
+        # the same buckets, the prior bucket members' connectivity is already in
+        # prior_edges (written by whichever batch run / fold ingested them), and
+        # the delta member only ever needed SOME verified edge into the bucket's
+        # true family — its ~cap-sized salt group gives it cap chances per band
+        # (more than batch's star+chain gives its own members).  Pinned by
+        # tests/test_incremental.py::test_fold_lsh_hot_bucket_is_capped.
+        cap = cfg.band_bucket_cap
+        hot_sizes = (
+            cand_bands.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > cap)
+            .localCheckpoint()  # eager: tiny (heavy-hitter keys), consumed 3×
         )
-    )
-    salt = F.pmod(
-        F.xxhash64("band_key", "file_id"),
-        F.ceil(F.col("bucket_n") / cap).cast("long"),
-    )
-    delta_hot = (
-        delta_bands.join(F.broadcast(hot_sizes), "band_key")
-        .withColumn("salt", salt)
-        .select("band_key", "salt", "file_id")
-    )
-    cand_hot = (
-        cand_bands.join(F.broadcast(hot_sizes), "band_key")
-        .withColumn("salt", salt)
-        .select("band_key", "salt", F.col("file_id").alias("other_id"))
-    )
-    hot_pairs = (
-        # broadcast the delta side: the bucket-sized cand side stays a pure
-        # scan (prior_bands through two broadcast filters), never shuffled
-        F.broadcast(delta_hot)
-        .join(cand_hot, ["band_key", "salt"])
-        .filter(F.col("file_id") != F.col("other_id"))
-        .select(
-            F.least("file_id", "other_id").alias("src"),
-            F.greatest("file_id", "other_id").alias("dst"),
+        cool_pairs = (
+            # anti-joining only the DELTA side suffices: the equi-join can then
+            # never match a hot key on the cand side
+            delta_bands.join(
+                F.broadcast(hot_sizes.select("band_key")), "band_key", "left_anti"
+            )
+            .join(cand_bands.withColumnRenamed("file_id", "other_id"), "band_key")
+            .filter(F.col("file_id") != F.col("other_id"))
+            .select(
+                F.least("file_id", "other_id").alias("src"),
+                F.greatest("file_id", "other_id").alias("dst"),
+            )
         )
-    )
-    lsh_pairs = cool_pairs.unionByName(hot_pairs).distinct()
-    # small_pairs: the pair set is delta-anchored — plan-time broadcasts keep
-    # the corpus-wide sigs table scan-only (AQE alone still materializes the
-    # corpus-sized exchange before deciding to broadcast).  GATED on the
-    # measured pair count (now cap-bounded per (member, band), but the gate
-    # stays: many delta members × many bands can still add up) —
-    # force-broadcasting past it would OOM the driver exactly when volume
-    # strikes (round-4 review).  Past the gate, verify falls back to its
-    # shuffled AQE plan — the batch path's graceful degradation.
-    lsh_pairs = lsh_pairs.localCheckpoint(eager=False)
-    n_lsh_pairs = lsh_pairs.count()
-    near_new = accepted_edges(
-        verify_pairs(
-            lsh_pairs, union_sigs, cfg,
-            small_pairs=n_lsh_pairs <= 500_000,
+        salt = F.pmod(
+            F.xxhash64("band_key", "file_id"),
+            F.ceil(F.col("bucket_n") / cap).cast("long"),
         )
-    ).select("src", "dst", "edge_kind", "score")
+        delta_hot = (
+            delta_bands.join(F.broadcast(hot_sizes), "band_key")
+            .withColumn("salt", salt)
+            .select("band_key", "salt", "file_id")
+        )
+        cand_hot = (
+            cand_bands.join(F.broadcast(hot_sizes), "band_key")
+            .withColumn("salt", salt)
+            .select("band_key", "salt", F.col("file_id").alias("other_id"))
+        )
+        hot_pairs = (
+            # broadcast the delta side: the bucket-sized cand side stays a pure
+            # scan (prior_bands through two broadcast filters), never shuffled
+            F.broadcast(delta_hot)
+            .join(cand_hot, ["band_key", "salt"])
+            .filter(F.col("file_id") != F.col("other_id"))
+            .select(
+                F.least("file_id", "other_id").alias("src"),
+                F.greatest("file_id", "other_id").alias("dst"),
+            )
+        )
+        lsh_pairs = cool_pairs.unionByName(hot_pairs).distinct()
+        # small_pairs: the pair set is delta-anchored — plan-time broadcasts keep
+        # the corpus-wide sigs table scan-only (AQE alone still materializes the
+        # corpus-sized exchange before deciding to broadcast).  GATED on the
+        # measured pair count (now cap-bounded per (member, band), but the gate
+        # stays: many delta members × many bands can still add up) —
+        # force-broadcasting past it would OOM the driver exactly when volume
+        # strikes (round-4 review).  Past the gate, verify falls back to its
+        # shuffled AQE plan — the batch path's graceful degradation.
+        lsh_pairs = lsh_pairs.localCheckpoint(eager=False)
+        n_lsh_pairs = lsh_pairs.count()
+        near_new = accepted_edges(
+            verify_pairs(
+                lsh_pairs, union_sigs, cfg,
+                small_pairs=n_lsh_pairs <= 500_000,
+            )
+        ).select("src", "dst", "edge_kind", "score")
+        return near_new, n_lsh_pairs
 
     # substring: both delta-anchored directions (new needle in old haystack,
     # old needle in new haystack; delta↔delta covered by the first).
@@ -617,7 +631,9 @@ def _incremental_dedup_update(
     # dynamic-overwrites exactly that partition — idempotent at O(delta).
     # The recovery path for a batch whose identity append was PARTIAL is
     # below at the persist step.
-    delta_index = shingle_inverted_index(delta_sigs).localCheckpoint(eager=False)
+    # eager (round-6): BOTH substring threads below consume this frame; a
+    # lazy checkpoint would let them race to materialize the same blocks
+    delta_index = shingle_inverted_index(delta_sigs).localCheckpoint()
     # union for THIS fold's reads: stored partitions except any written by
     # THIS batch's earlier attempts — the raw batch_key partition and any
     # `<batch_key>_p*` recovery partitions (crash window: index written,
@@ -645,24 +661,34 @@ def _incremental_dedup_update(
     # path re-exploded every union signature row and ran a corpus-wide
     # anchor-value distinct per fold (round-3 verdict item 1)
     union_anchors = prior_anchors.unionByName(delta_anchors)
-    sub_new = substring_edge_list(
-        substring_edges(
+
+    def _sub_forward():
+        return substring_edges(
             union_norm, union_sigs, cfg, needle_ids=delta_ids,
             inverted=union_index,
         )
-        .unionByName(
-            # inverted=delta_index (not haystack_ids=delta_ids): the delta's
-            # inverted index IS the haystack explode the operator would
-            # otherwise rebuild by scanning + semi-filtering corpus-sized
-            # union_sigs — already materialized above, so reusing it saves
-            # one full-signatures scan and a duplicate delta explode per fold
-            substring_edges(
-                union_norm, union_sigs, cfg, inverted=delta_index,
-                cand_anchors=union_anchors, df_index=union_index,
-            )
+
+    def _sub_reverse():
+        # inverted=delta_index (not haystack_ids=delta_ids): the delta's
+        # inverted index IS the haystack explode the operator would
+        # otherwise rebuild by scanning + semi-filtering corpus-sized
+        # union_sigs — already materialized above, so reusing it saves
+        # one full-signatures scan and a duplicate delta explode per fold
+        return substring_edges(
+            union_norm, union_sigs, cfg, inverted=delta_index,
+            cand_anchors=union_anchors, df_index=union_index,
         )
-        .distinct()
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_near = pool.submit(_lsh_channel)
+        f_fwd = pool.submit(_sub_forward)
+        f_rev = pool.submit(_sub_reverse)
+        near_new, n_lsh_pairs = f_near.result()
+        sub_new = substring_edge_list(
+            f_fwd.result().unionByName(f_rev.result()).distinct()
+        )
 
     # edges never touch a quarantined id (batch builds all channels from the
     # clean identity, so a full recompute has no such edge; prior_edges can
@@ -799,30 +825,37 @@ def _incremental_dedup_update(
     edges_out = prior_edges_clean.unionByName(new_edges_final)
 
     # persist — crash-safe under foreachBatch replay at ANY point:
-    #   1. derived tables (edges, cluster_labels) are rewritten FIRST, via
-    #      the tmp-dir swap (plans/maintenance.swap_overwrite): the rewrite
-    #      STREAMS through the prior table — no corpus-sized localCheckpoint
-    #      — and a crash between the renames is healed by the entry repair
-    #      at the top of the fold; a crash right after leaves derived state
-    #      ahead of base state — the replay recomputes the same frames
-    #      deterministically and swaps again;
+    #   1. the derived-table swaps (edges, cluster_labels), the index
+    #      partition write, and the four append tables are mutually
+    #      independent writes to SEVEN distinct paths, so they run as
+    #      concurrent driver threads (round-6; guide §2.6 — the fold's
+    #      persist phase was a serial chain of small writes, each leaving
+    #      most cores idle).  Their relative commit order does not matter
+    #      for replay: a replay re-derives every frame and re-swaps
+    #      deterministically, the appends are insert-if-absent, and every
+    #      polluted-prior state a reordering can leave (e.g. sig rows
+    #      appended, swaps not) is a state the pre-round-6 order could
+    #      already reach through a crash between its own steps — pinned by
+    #      tests/test_incremental.py::test_partial_write_replay_reconverges.
+    #      The swaps STREAM through the prior table (no corpus-sized
+    #      localCheckpoint); a crash between a swap's two renames is healed
+    #      by the entry repair at the top of the fold;
     #   2. every append is insert-if-absent (broadcast anti-join against the
     #      pre-fold snapshot of the table, semi-filtered to the delta's own
     #      keys — O(delta) shuffle), so a replay after a partial append
-    #      never duplicates rows;
-    #   3. quarantine appends AFTER the sig/norm/bands appends: repair is
-    #      gated on ids missing from the quarantine table, so the repair's
-    #      inherited rows must be durably appended before the ids are marked
-    #      quarantined (a crash in between re-runs repair on replay; the
-    #      append guards drop the duplicates);
+    #      never duplicates rows.  The snapshots were taken before any write
+    #      of this fold, so concurrent appends never read a moving table;
+    #   3. quarantine appends AFTER the barrier: repair is gated on ids
+    #      missing from the quarantine table, so the repair's inherited rows
+    #      must be durably appended before the ids are marked quarantined
+    #      (a crash in between re-runs repair on replay; the append guards
+    #      drop the duplicates);
     #   4. identity goes LAST: it is the table the top-of-fold idempotency
     #      guard keys on, i.e. the commit point.  A crash anywhere before it
     #      leaves the delta "not yet ingested" — the replay redoes the fold
     #      and reconverges; a crash after it means every other write already
     #      committed.  Pinned by
     #      tests/test_incremental.py::test_partial_write_replay_reconverges.
-    swap_overwrite(spark, edges_out, f"{loc}/edges", table_format)
-    swap_overwrite(spark, assignments, f"{loc}/cluster_labels", table_format)
 
     # index rows land in this batch's own partition (see batch_key above);
     # dynamic overwrite touches only partitions present in the data, so a
@@ -841,16 +874,17 @@ def _incremental_dedup_update(
     #     they get their own deterministic partition — same O(delta)
     #     overwrite idempotency as the clean path (round-3 ADVICE: this
     #     caller class used to pay the recovery scan on every call).
-    if clean_first_attempt:
-        (
-            delta_index.withColumn("ingest_batch", F.lit(batch_key))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .format(table_format)
-            .save(index_path)
-        )
-    else:
+    def _write_index() -> None:
+        if clean_first_attempt:
+            (
+                delta_index.withColumn("ingest_batch", F.lit(batch_key))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .format(table_format)
+                .save(index_path)
+            )
+            return
         # the surviving-delta fingerprint was computed in the top-of-fold
         # multi-agg (h_delta) — no extra job on the recovery path
         sub_key = (
@@ -907,15 +941,27 @@ def _incremental_dedup_update(
     # on the 128-bit composite at the top of the fold — appending it
     # directly is already idempotent (the old second guard re-read the
     # table it had just read; round-3 ADVICE).
-    _append_absent(delta_sigs, "signatures", ["file_id"], prior_sigs)
-    _append_absent(delta_norm, "norm", ["file_id"], prior_norm)
-    _append_absent(delta_bands, "bands", ["file_id"], prior_bands)
     # anchors is the one append table with MULTIPLE rows per src (K min
     # shingles), so the guard keys on the full (src, sh) row identity — a
     # src-only key would treat a partially-committed crash append as "src
     # exists" and silently drop the needle's remaining anchors forever
     # (round-4 review)
-    _append_absent(delta_anchors, "anchors", ["src", "sh"], prior_anchors)
+    persist_tasks = [
+        lambda: swap_overwrite(spark, edges_out, f"{loc}/edges", table_format),
+        lambda: swap_overwrite(
+            spark, assignments, f"{loc}/cluster_labels", table_format
+        ),
+        _write_index,
+        lambda: _append_absent(delta_sigs, "signatures", ["file_id"], prior_sigs),
+        lambda: _append_absent(delta_norm, "norm", ["file_id"], prior_norm),
+        lambda: _append_absent(delta_bands, "bands", ["file_id"], prior_bands),
+        lambda: _append_absent(
+            delta_anchors, "anchors", ["src", "sh"], prior_anchors
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=len(persist_tasks)) as pool:
+        for fut in [pool.submit(t) for t in persist_tasks]:
+            fut.result()
     if has_new_quarantine:
         _append_absent(
             new_q_rows, "quarantine", ["file_id", "file_id2"], prior_quarantine
