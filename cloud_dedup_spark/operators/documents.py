@@ -125,6 +125,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= df_cap)
             .drop("_df")
         )
+    # materialized once (round-6): three consumers below (sizes, both join
+    # sides) each re-ran the tokenize → explode → distinct → window lineage
+    # — the narrow (doc_id, ng) rows are cheap to hold and the cut removes
+    # two full recomputations per invocation
+    grams = grams.localCheckpoint()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ng"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "ng")
     b = grams.select(F.col("doc_id").alias("doc_b"), "ng")

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cloud_dedup_spark.operators.similarity import cosine_udf
+from cloud_dedup_spark.operators.similarity import cosine_udf, rescore_pairs
 
 
 def fit_centroids(
@@ -270,14 +270,12 @@ def ivf_near_pairs(
             .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
             .distinct()
         )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("score", F.round(cosine_udf(F.col("vec_a"), F.col("vec_b")), 4))
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
+    # blocked rescore (round-6): candidates cross the Arrow boundary as id
+    # pairs grouped per block pair instead of carrying both full vectors on
+    # every candidate row — identical scores (same einsum arithmetic, same
+    # JVM-side rounding), pinned in tests/test_similarity.py.
+    return rescore_pairs(
+        emb, cand, threshold, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -214,6 +214,108 @@ def cosine_near_pairs(
     )
 
 
+def rescore_pairs(
+    emb: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 256,
+) -> DataFrame:
+    """Exact 4dp cosine rescoring of an ``(id_a, id_b)`` candidate frame.
+
+    The shared tail of the LSH/IVF near-pair operators (round-6).  The old
+    tail joined both full vectors onto EVERY candidate row and shipped them
+    through Arrow — at low thresholds the candidate set approaches N²/2 and
+    the rescore pays the same boundary flood ``cosine_near_pairs`` used to.
+    Here candidates cross the boundary as 16-byte id pairs grouped by
+    (block_a, block_b), vectors once per touched block pair, and the scores
+    use the IDENTICAL per-pair float64 einsum arithmetic as ``cosine_udf``
+    (same zero-norm → -1.0 guard); the authoritative round(4dp)+filter stays
+    JVM-side, so outputs equal the old join-per-pair form exactly (pinned in
+    tests/test_similarity.py).  Orientation of (id_a, id_b) is preserved.
+    """
+    import math
+
+    n = emb.select(id_col).count()
+    n_blocks = max(1, math.ceil(n / block_size))
+
+    def _gid(c):
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(n_blocks))
+
+    packed = (
+        emb.select(
+            _gid(id_col).alias("gid"),
+            F.struct(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ).alias("item"),
+        )
+        .groupBy("gid")
+        .agg(F.collect_list("item").alias("items"))
+    )
+    grouped = (
+        cand.select(
+            "id_a", "id_b", _gid("id_a").alias("ga"), _gid("id_b").alias("gb")
+        )
+        .groupBy("ga", "gb")
+        .agg(F.collect_list(F.struct("id_a", "id_b")).alias("pairs"))
+    )
+    margin = threshold - 5e-5 - 1e-9
+
+    @F.pandas_udf("array<struct<id_a:long,id_b:long,score:double>>")
+    def _score(
+        pairs_s: pd.Series, items_a_s: pd.Series, items_b_s: pd.Series
+    ) -> pd.Series:
+        out = []
+        for prs, ia, ib in zip(pairs_s, items_a_s, items_b_s):
+            pos_a = {r["id"]: i for i, r in enumerate(ia)}
+            ma = np.vstack([r["vec"] for r in ia]).astype(np.float64)
+            pos_b = {r["id"]: i for i, r in enumerate(ib)}
+            mb = np.vstack([r["vec"] for r in ib]).astype(np.float64)
+            idx_a = np.fromiter(
+                (pos_a[p["id_a"]] for p in prs), dtype=np.int64, count=len(prs)
+            )
+            idx_b = np.fromiter(
+                (pos_b[p["id_b"]] for p in prs), dtype=np.int64, count=len(prs)
+            )
+            pa, pb = ma[idx_a], mb[idx_b]
+            dots = np.einsum("ij,ij->i", pa, pb)
+            norms = np.linalg.norm(pa, axis=1) * np.linalg.norm(pb, axis=1)
+            zero = norms == 0.0
+            score = np.where(zero, -1.0, dots / np.where(zero, 1.0, norms))
+            keep = score >= margin
+            out.append(
+                [
+                    {"id_a": int(p["id_a"]), "id_b": int(p["id_b"]), "score": float(v)}
+                    for p, v in zip(
+                        (p for p, k in zip(prs, keep) if k), score[keep]
+                    )
+                ]
+            )
+        return pd.Series(out)
+
+    joined = grouped.join(
+        packed.select(F.col("gid").alias("ga"), F.col("items").alias("items_a")),
+        "ga",
+    ).join(
+        packed.select(F.col("gid").alias("gb"), F.col("items").alias("items_b")),
+        "gb",
+    )
+    return (
+        joined.select(
+            F.explode(
+                _score(F.col("pairs"), F.col("items_a"), F.col("items_b"))
+            ).alias("p")
+        )
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.round(F.col("p.score"), 4).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def hyperplane_signature_udf(dim: int | None = None, n_planes: int = 16, seed: int = 42):
     """Vectorized random-hyperplane SimHash over embeddings → int bucket.
 
@@ -359,14 +461,12 @@ def cosine_near_pairs_lsh(
         .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
         .distinct()
     )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("score", F.round(cosine_udf(F.col("vec_a"), F.col("vec_b")), 4))
-        .filter(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
+    # blocked rescore (round-6): at low thresholds banded LSH prunes weakly
+    # (docstring regime note), so the candidate set approaches N²/2 and the
+    # old per-pair vector join re-created the Arrow flood the exact twin
+    # had — rescore_pairs ships id pairs, not vector pairs.
+    return rescore_pairs(
+        emb, cand, threshold, id_col=id_col, vec_col=vec_col
     )
 
 
