@@ -216,9 +216,17 @@ def ivf_near_pairs(
     are dropped from candidate generation (the same bounded-recall/bounded-
     fan-out contract as cosine_near_pairs_lsh's bucket_cap).
     """
+    if nprobe is not None and nprobe < 1:
+        # round-5 ADVICE: nprobe=0 built a multi-cell index (the truthiness
+        # guard) while the probe branch ran with an EMPTY probe map —
+        # silently zero pairs.  Fail loudly; both guards below use the same
+        # `is not None` predicate.
+        raise ValueError(f"nprobe must be >= 1 when set, got {nprobe}")
     if centroids is None:
         centroids = fit_centroids(emb, n_cells, seed=seed, vec_col=vec_col)
-    assign = cell_assign_udf(centroids, n_assign=1 if nprobe else n_assign)
+    assign = cell_assign_udf(
+        centroids, n_assign=1 if nprobe is not None else n_assign
+    )
     # materialized once — feeds the cell-size branch and both self-join
     # sides; uncut, each subtree re-runs the (rows × n_cells) centroid GEMM
     keyed = emb.select(

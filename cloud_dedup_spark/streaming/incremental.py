@@ -515,12 +515,18 @@ def _incremental_dedup_update(
         # delta member into its deterministic salt group only (the batch path's
         # own salt assignment: pmod(xxhash64(band_key, file_id), ceil(n/cap))),
         # giving O(delta × cap) pairs per band regardless of bucket size.
-        # Label equality with a full recompute is preserved: the batch path caps
-        # the same buckets, the prior bucket members' connectivity is already in
-        # prior_edges (written by whichever batch run / fold ingested them), and
-        # the delta member only ever needed SOME verified edge into the bucket's
-        # true family — its ~cap-sized salt group gives it cap chances per band
-        # (more than batch's star+chain gives its own members).  Pinned by
+        # Label-equality caveat (round-5 ADVICE): the batch path caps the
+        # same buckets and the delta member gets cap chances per band at a
+        # verified edge into the bucket's true family via its ~cap-sized
+        # salt group — but the delta pairs only WITHIN its same-salt group,
+        # without the batch path's cross-salt rep star+chain.  Equality
+        # with a full recompute therefore relies on the bucket's true
+        # family already being connected in prior_edges (the steady-state
+        # case: prior members were star+chained by whichever batch run /
+        # fold ingested them).  A delta delivering a large NEW near-dup
+        # family entirely inside one hot bucket can split that family
+        # across salt groups — bounded recall loss under the documented
+        # hot-bucket contract, never wrong edges.  Pinned by
         # tests/test_incremental.py::test_fold_lsh_hot_bucket_is_capped.
         cap = cfg.band_bucket_cap
         hot_sizes = (
