@@ -160,6 +160,20 @@ def run_fold() -> None:
         spark.stop()
 
 
+def dump_plans(names: list[str]) -> None:
+    """Write `.explain("formatted")` for each query to plans/<tag>/ without
+    timing anything (PLAN_SUFFIX must be set)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _session()
+    try:
+        qs = entrymod.queries()
+        for name in names or list(qs):
+            _dump_plan(qs[name](spark, sf_dir), name)
+            print(f"dumped plan {name}")
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
     if mode == "queries":
@@ -168,5 +182,7 @@ if __name__ == "__main__":
         run_pipeline_stages()
     elif mode == "fold":
         run_fold()
+    elif mode == "plans":
+        dump_plans(sys.argv[2:])
     else:
         raise SystemExit(f"unknown mode {mode}")
