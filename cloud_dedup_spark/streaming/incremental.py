@@ -752,7 +752,6 @@ def _incremental_dedup_update(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_touched_clusters = touched_cluster_ids.count()
     # prior label rows: split into touched (relabel below) and untouched
     # (kept verbatim).  Delta file_ids are excluded from BOTH and re-enter
     # via delta_clean — after a crash-replay the prior labels already
@@ -791,12 +790,18 @@ def _incremental_dedup_update(
         .unionByName(new_edges.select("src", "dst"))
         .localCheckpoint(eager=False)
     )
+    sub_labels = connected_components(cc_edges, vertices=cc_members)
+    # stats counts AFTER the CC fixed point (round-6): neither count gates
+    # anything — n_cc_members above is the only functional count — and
+    # running them first serialized two extra driver actions in front of
+    # CC's own materializing job.  Here they scan blocks CC already
+    # materialized (touched_cluster_ids rides the member-split broadcasts),
+    # so each is a cheap cached-read job.
     cc_stats = {
         "n_edges": cc_edges.count(),
         "n_vertices": n_cc_members,
-        "n_touched_clusters": n_touched_clusters,
+        "n_touched_clusters": touched_cluster_ids.count(),
     }
-    sub_labels = connected_components(cc_edges, vertices=cc_members)
     recomputed = (
         touched_prior_members.unionByName(
             delta_clean.select("file_id", "repo", "path")
